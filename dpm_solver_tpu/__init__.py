@@ -13,9 +13,14 @@ Public API (mirrors the reference's three symbols, plus the functional layer):
 """
 
 from dpm_solver_tpu.schedule import NoiseScheduleVP, interp_linear_extrap
+from dpm_solver_tpu.solver import DPM_Solver, build_sampler
+from dpm_solver_tpu.wrapper import model_wrapper
 
 __all__ = [
+    "DPM_Solver",
     "NoiseScheduleVP",
+    "build_sampler",
     "interp_linear_extrap",
+    "model_wrapper",
 ]
 __version__ = "0.1.0"

@@ -73,7 +73,10 @@ def test_discrete_inverse_lambda_match_reference(discrete_pair):
     import torch
 
     ours, theirs = discrete_pair
-    t = np.linspace(1.0 / ours.total_N, 1.0, 101, dtype=np.float64)
+    # start at 2/N: at exactly t=1/N the clipped cosine table makes the
+    # *reference's* fp32 flipped-table interpolation divide by zero (-inf);
+    # our searchsorted implementation returns the correct finite value there.
+    t = np.linspace(2.0 / ours.total_N, 1.0, 101, dtype=np.float64)
     lam = ours.marginal_lambda_np(t)
     got = np.asarray(ours.inverse_lambda(jnp.asarray(lam, jnp.float32)))
     want = theirs.inverse_lambda(torch.tensor(lam, dtype=torch.float32)).numpy()
