@@ -73,14 +73,18 @@ def test_discrete_inverse_lambda_match_reference(discrete_pair):
     import torch
 
     ours, theirs = discrete_pair
-    # start at 2/N: at exactly t=1/N the clipped cosine table makes the
-    # *reference's* fp32 flipped-table interpolation divide by zero (-inf);
-    # our searchsorted implementation returns the correct finite value there.
-    t = np.linspace(2.0 / ours.total_N, 1.0, 101, dtype=np.float64)
+    t = np.linspace(1.0 / ours.total_N, 1.0, 101, dtype=np.float64)
     lam = ours.marginal_lambda_np(t)
     got = np.asarray(ours.inverse_lambda(jnp.asarray(lam, jnp.float32)))
     want = theirs.inverse_lambda(torch.tensor(lam, dtype=torch.float32)).numpy()
-    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
+    # In the alpha ~= 1 high-SNR region of cosine-like tables the *reference*
+    # divides by zero-width fp32 segments and returns -inf; ours stays finite
+    # (correctness there is pinned by the float64 roundtrip property test).
+    # Compare only where the reference is well-defined.
+    finite = np.isfinite(want)
+    assert finite.mean() > 0.9
+    np.testing.assert_allclose(got[finite], want[finite], rtol=0, atol=5e-5)
+    assert np.all(np.isfinite(got))
 
 
 @requires_reference
