@@ -1,0 +1,91 @@
+"""Pallas TPU kernel for the solver's exponential-integrator update.
+
+Every DPM-Solver update in this framework is the linear combination
+
+    x' = a*x + b0*M0 + b1*M1 + b2*M2 (+ s*z)
+
+over identically-shaped HBM-resident tensors (solver/sample.py::_combine).
+This is pure VPU work and strictly HBM-bandwidth bound: the kernel reads each
+operand exactly once and writes the result once, in (8,128)-aligned VMEM
+blocks, so it runs at memory speed-of-light. XLA usually fuses the naive jnp
+expression equally well; the kernel exists to *guarantee* the single-pass
+form (BASELINE.json requires the fused Pallas update) and to serve as the
+fusion anchor when the surrounding program prevents XLA from doing so.
+
+Scalars travel in SMEM via PrefetchScalarGridSpec, hence one compiled kernel
+serves every step of the lax.scan (coefficients are traced values, not
+compile-time constants).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Rows of 128 lanes; 512 sublanes/block => 256 KiB fp32 per operand block.
+_LANES = 128
+_BLOCK_ROWS = 512
+
+
+def _kernel_noise(coef_ref, x_ref, h0_ref, h1_ref, h2_ref, z_ref, out_ref):
+    c = coef_ref
+    out_ref[:] = (
+        c[0] * x_ref[:]
+        + c[1] * h0_ref[:]
+        + c[2] * h1_ref[:]
+        + c[3] * h2_ref[:]
+        + c[4] * z_ref[:]
+    )
+
+
+def _kernel_ode(coef_ref, x_ref, h0_ref, h1_ref, h2_ref, out_ref):
+    c = coef_ref
+    out_ref[:] = c[0] * x_ref[:] + c[1] * h0_ref[:] + c[2] * h1_ref[:] + c[3] * h2_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_solver_update(a, b, s_noise, x, hist, z=None, *, interpret=False):
+    """x' = a*x + b@hist (+ s_noise*z) as a single-pass Pallas kernel.
+
+    Args:
+      a, s_noise: scalars; b: (3,) coefficients (newest-first history).
+      x: arbitrary-shape array; hist: (3, *x.shape); z: optional noise.
+    """
+    shape, dtype = x.shape, x.dtype
+    n = x.size
+    coefs = jnp.concatenate(
+        [jnp.reshape(a, (1,)), jnp.reshape(b, (3,)),
+         jnp.reshape(0.0 if s_noise is None else s_noise, (1,))]
+    ).astype(dtype)
+
+    block = _BLOCK_ROWS * _LANES
+    n_pad = -n % block
+    flat = lambda v: jnp.pad(v.reshape(-1), (0, n_pad)).reshape(-1, _LANES)
+    xs = [flat(x), flat(hist[0]), flat(hist[1]), flat(hist[2])]
+    kernel = _kernel_ode
+    if z is not None:
+        xs.append(flat(z))
+        kernel = _kernel_noise
+
+    rows = xs[0].shape[0]
+    grid = (rows // _BLOCK_ROWS,)
+    # index_map receives the scalar-prefetch ref as a trailing argument
+    spec = pl.BlockSpec(
+        (_BLOCK_ROWS, _LANES), lambda i, _coefs: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[spec] * len(xs),
+            out_specs=spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), dtype),
+        interpret=interpret,
+    )(coefs, *xs)
+    return out.reshape(-1)[:n].reshape(shape)

@@ -37,13 +37,18 @@ def _push_hist(hist, m):
     return jnp.concatenate([m[None], hist[:-1]], axis=0)
 
 
-def _combine(row_a, row_b, row_s, x, hist, z):
+def _combine(row_a, row_b, row_s, x, hist, z, use_pallas=False):
     """x_next = a*x + b @ hist (+ s*z) — the fused update hot path.
 
-    XLA fuses this chain of multiply-adds into one VPU pass over HBM; see
-    ops/fused_update.py for the Pallas variant used on large batches.
+    Default path: explicit multiply-adds that XLA fuses into one VPU pass over
+    HBM. `use_pallas=True` routes through the guaranteed single-pass Pallas
+    kernel (ops/fused_update.py) instead.
     """
-    out = row_a * x + jnp.tensordot(row_b, hist, axes=1)
+    if use_pallas:
+        from dpm_solver_tpu.ops.fused_update import fused_solver_update
+
+        return fused_solver_update(row_a, row_b, row_s, x, hist, z)
+    out = row_a * x + row_b[0] * hist[0] + row_b[1] * hist[1] + row_b[2] * hist[2]
     if z is not None:
         out = out + row_s * z
     return out
@@ -78,10 +83,17 @@ def execute_plan(
     correcting_x0_fn: Optional[Callable] = None,
     correcting_xt_fn: Optional[Callable] = None,
     return_intermediate: bool = False,
+    use_pallas: Optional[bool] = None,
 ):
-    """Run a planned trajectory. Pure function of (x, rng); jit/pjit-safe."""
+    """Run a planned trajectory. Pure function of (x, rng); jit/pjit-safe.
+
+    `use_pallas=None` auto-enables the fused Pallas update kernel on TPU
+    backends (it has no CPU compile path outside interpret mode).
+    """
     if plan.has_noise and rng is None:
         raise ValueError("SDE plan requires an rng key")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     eval_fn = _make_eval_fn(model_fn, predict_x0, correcting_x0_fn)
     intermediates: List[jax.Array] = []
     hist = jnp.zeros((3,) + x.shape, x.dtype)
@@ -110,7 +122,7 @@ def execute_plan(
             z = None
             if plan.has_noise:
                 z = jax.random.normal(jax.random.fold_in(rng, i), x.shape, x.dtype)
-            x_new = _combine(a, b, s_noise, x, hist, z)
+            x_new = _combine(a, b, s_noise, x, hist, z, use_pallas)
             if correcting_xt_fn is not None:
                 x_new = correcting_xt_fn(x_new, t_next, i)
             m = eval_fn(x_new, t_next, alpha_next, sigma_next)
@@ -140,7 +152,7 @@ def execute_plan(
             z = None
             if plan.has_noise:
                 z = jax.random.normal(jax.random.fold_in(rng, step), x.shape, x.dtype)
-            y = _combine(a, b, s_noise, x, hist, z)
+            y = _combine(a, b, s_noise, x, hist, z, use_pallas)
             if plan.tail_commit[k]:
                 if correcting_xt_fn is not None:
                     y = correcting_xt_fn(y, t_next, step)
@@ -218,6 +230,7 @@ def build_sampler(
     correcting_x0_fn: Optional[Callable] = None,
     correcting_xt_fn: Optional[Callable] = None,
     return_intermediate: bool = False,
+    use_pallas: Optional[bool] = None,
     **plan_kwargs: Any,
 ) -> Callable:
     """Functional entry: returns a pure `fn(x, rng=None) -> x0` closure.
@@ -235,6 +248,7 @@ def build_sampler(
             correcting_x0_fn=correcting_x0_fn,
             correcting_xt_fn=correcting_xt_fn,
             return_intermediate=return_intermediate,
+            use_pallas=use_pallas,
         )
 
     return fn
