@@ -1,0 +1,302 @@
+"""Classic sampler zoo: predictor-corrector, DDIM, ancestral DDPM.
+
+Rebuild of the reference's baseline samplers as single compiled XLA programs:
+  * predictor/corrector registry + PC sampler
+    (score_sde_jax/sampling.py:101-456) — here the N-step loop is a
+    `lax.scan` inside one jit, not a pmap'd fori_loop closure.
+  * DDIM (`generalized_steps`) and ancestral DDPM (`ddpm_steps`) baselines
+    (ddpm_and_guided-diffusion/functions/denoising.py:21-104), expressed on
+    top of NoiseScheduleVP's discrete tables.
+
+All samplers are pure (x|rng in, x0 out) and pjit-shardable over the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpm_solver_tpu.schedule import NoiseScheduleVP
+from dpm_solver_tpu.sde import batch_mul, reverse_sde
+from dpm_solver_tpu.utils.trees import bcast_right
+
+_PREDICTORS = {}
+_CORRECTORS = {}
+
+
+def register_predictor(name):
+    def deco(fn):
+        _PREDICTORS[name] = fn
+        return fn
+    return deco
+
+
+def register_corrector(name):
+    def deco(fn):
+        _CORRECTORS[name] = fn
+        return fn
+    return deco
+
+
+def get_predictor(name):
+    return _PREDICTORS[name]
+
+
+def get_corrector(name):
+    return _CORRECTORS[name]
+
+
+# ---- predictors: (rng, x, t, sde, score_fn, probability_flow) -> (x, x_mean) ----
+
+
+@register_predictor("euler_maruyama")
+def euler_maruyama_predictor(rng, x, t, sde, score_fn, probability_flow=False):
+    rsde = reverse_sde(sde, score_fn, probability_flow)
+    dt = -sde.T / sde.N
+    z = jax.random.normal(rng, x.shape, x.dtype)
+    drift, diffusion = rsde.sde(x, t)
+    x_mean = x + drift * dt
+    x = x_mean + batch_mul(diffusion, jnp.sqrt(-dt) * z)
+    return x, x_mean
+
+
+@register_predictor("reverse_diffusion")
+def reverse_diffusion_predictor(rng, x, t, sde, score_fn, probability_flow=False):
+    rsde = reverse_sde(sde, score_fn, probability_flow)
+    f, g = rsde.discretize(x, t)
+    z = jax.random.normal(rng, x.shape, x.dtype)
+    x_mean = x - f
+    x = x_mean + batch_mul(g, z)
+    return x, x_mean
+
+
+@register_predictor("ancestral_sampling")
+def ancestral_sampling_predictor(rng, x, t, sde, score_fn, probability_flow=False):
+    """DDPM/SMLD ancestral step (ref sampling.py AncestralSamplingPredictor)."""
+    from dpm_solver_tpu.sde import VESDE, VPSDE
+
+    assert not probability_flow
+    if isinstance(sde, VPSDE):
+        betas = jnp.asarray(np.linspace(sde.beta_0 / sde.N, sde.beta_1 / sde.N, sde.N), x.dtype)
+        idx = (t * (sde.N - 1) / sde.T).astype(jnp.int32)
+        beta = betas[idx]
+        score = score_fn(x, t)
+        x_mean = batch_mul(1.0 / jnp.sqrt(1.0 - beta), x + batch_mul(beta, score))
+        z = jax.random.normal(rng, x.shape, x.dtype)
+        return x_mean + batch_mul(jnp.sqrt(beta), z), x_mean
+    elif isinstance(sde, VESDE):
+        sigmas = jnp.asarray(sde._sigmas(), x.dtype)
+        idx = (t * (sde.N - 1) / sde.T).astype(jnp.int32)
+        sigma = sigmas[idx]
+        adjacent = jnp.where(idx == 0, jnp.zeros_like(sigma), sigmas[jnp.maximum(idx - 1, 0)])
+        score = score_fn(x, t)
+        x_mean = x + batch_mul(sigma**2 - adjacent**2, score)
+        std = jnp.sqrt(adjacent**2 * (sigma**2 - adjacent**2) / jnp.maximum(sigma**2, 1e-20))
+        z = jax.random.normal(rng, x.shape, x.dtype)
+        return x_mean + batch_mul(std, z), x_mean
+    raise NotImplementedError
+
+
+@register_predictor("none")
+def none_predictor(rng, x, t, sde, score_fn, probability_flow=False):
+    return x, x
+
+
+# ---- correctors: (rng, x, t, sde, score_fn, snr, n_steps) -> (x, x_mean) ----
+
+
+def _alpha_for(sde, t, dtype):
+    from dpm_solver_tpu.sde import VPSDE
+
+    if isinstance(sde, VPSDE):
+        betas = jnp.asarray(np.linspace(sde.beta_0 / sde.N, sde.beta_1 / sde.N, sde.N), dtype)
+        idx = (t * (sde.N - 1) / sde.T).astype(jnp.int32)
+        return 1.0 - betas[idx]
+    return jnp.ones_like(t)
+
+
+@register_corrector("langevin")
+def langevin_corrector(rng, x, t, sde, score_fn, snr=0.16, n_steps=1):
+    """Langevin MCMC corrector. The grad/noise norms are means over the global
+    batch — under pjit the mean over the sharded axis is already the global
+    collective (the reference does an explicit lax.pmean, sampling.py:304-307)."""
+    alpha = _alpha_for(sde, t, x.dtype)
+
+    def body(i, carry):
+        rng, x, x_mean = carry
+        rng, step_rng = jax.random.split(rng)
+        grad = score_fn(x, t)
+        noise = jax.random.normal(step_rng, x.shape, x.dtype)
+        grad_norm = jnp.mean(jnp.linalg.norm(grad.reshape(grad.shape[0], -1), axis=-1))
+        noise_norm = jnp.mean(jnp.linalg.norm(noise.reshape(noise.shape[0], -1), axis=-1))
+        step_size = (snr * noise_norm / grad_norm) ** 2 * 2.0 * alpha
+        x_mean = x + batch_mul(step_size, grad)
+        x = x_mean + batch_mul(jnp.sqrt(2.0 * step_size), noise)
+        return rng, x, x_mean
+
+    _, x, x_mean = jax.lax.fori_loop(0, n_steps, body, (rng, x, x))
+    return x, x_mean
+
+
+@register_corrector("ald")
+def ald_corrector(rng, x, t, sde, score_fn, snr=0.16, n_steps=1):
+    """Annealed Langevin Dynamics (NCSNv2): step size from target std."""
+    alpha = _alpha_for(sde, t, x.dtype)
+    std = sde.marginal_prob(jnp.zeros_like(x), t)[1]
+
+    def body(i, carry):
+        rng, x, x_mean = carry
+        rng, step_rng = jax.random.split(rng)
+        grad = score_fn(x, t)
+        noise = jax.random.normal(step_rng, x.shape, x.dtype)
+        step_size = (snr * std) ** 2 * 2.0 * alpha
+        x_mean = x + batch_mul(step_size, grad)
+        x = x_mean + batch_mul(jnp.sqrt(2.0 * step_size), noise)
+        return rng, x, x_mean
+
+    _, x, x_mean = jax.lax.fori_loop(0, n_steps, body, (rng, x, x))
+    return x, x_mean
+
+
+@register_corrector("none")
+def none_corrector(rng, x, t, sde, score_fn, snr=0.16, n_steps=1):
+    return x, x
+
+
+# ---- PC sampler ----
+
+
+def get_pc_sampler(
+    sde,
+    score_fn: Callable,
+    *,
+    predictor: str = "reverse_diffusion",
+    corrector: str = "none",
+    snr: float = 0.16,
+    n_corrector_steps: int = 1,
+    probability_flow: bool = False,
+    denoise: bool = True,
+    eps: float = 1e-3,
+) -> Callable:
+    """Returns sampler(x_T, rng) -> (x0, nfe); the N-step PC loop is one scan.
+
+    (ref loop: score_sde_jax/sampling.py:391-456)
+    """
+    pred = get_predictor(predictor)
+    corr = get_corrector(corrector)
+
+    def sampler(x, rng):
+        timesteps = jnp.linspace(sde.T, eps, sde.N)
+
+        def body(carry, t):
+            rng, x, x_mean = carry
+            rng, r1, r2 = jax.random.split(rng, 3)
+            tb = jnp.full((x.shape[0],), t, x.dtype)
+            x, x_mean = corr(r1, x, tb, sde, score_fn, snr, n_corrector_steps)
+            x, x_mean = pred(r2, x, tb, sde, score_fn, probability_flow)
+            return (rng, x, x_mean), ()
+
+        (rng, x, x_mean), _ = jax.lax.scan(body, (rng, x, x), timesteps)
+        out = x_mean if denoise else x
+        nfe = sde.N * (n_corrector_steps + 1)
+        return out, jnp.asarray(nfe)
+
+    return sampler
+
+
+# ---- DDIM / ancestral DDPM on discrete beta tables ----
+
+
+def ddim_sampler(
+    model_fn: Callable,
+    ns: NoiseScheduleVP,
+    *,
+    steps: int = 50,
+    eta: float = 0.0,
+    skip_type: str = "uniform",
+) -> Callable:
+    """DDIM (`generalized_steps`, denoising.py:21-51) as one scan.
+
+    model_fn(x, t_discrete_float) -> eps. eta=0 is deterministic DDIM
+    (== DPM-Solver order 1 on the same grid); eta=1 is ancestral-like.
+    """
+    n_train = ns.total_N
+    if skip_type == "uniform":
+        seq = np.linspace(0, n_train - 1, steps + 1)[1:].astype(np.int64)
+    elif skip_type == "quad":
+        seq = (np.linspace(0, np.sqrt(n_train * 0.8), steps) ** 2).astype(np.int64)
+    else:
+        raise ValueError(skip_type)
+    seq = np.unique(seq)
+    # alpha-bar at the discrete grid; abar[-1 step] pairs with "next" = j-1
+    log_alpha = np.asarray(
+        ns.marginal_log_mean_coeff_np((np.arange(n_train, dtype=np.float64) + 1) / n_train))
+    abar = np.exp(2.0 * log_alpha)
+    at_seq = abar[seq][::-1].copy()                       # descending time
+    at_next_seq = np.concatenate([[1.0], abar[seq]])[:-1][::-1].copy()
+    t_seq = seq[::-1].astype(np.float64).copy()
+
+    def sampler(x, rng=None):
+        rows = (jnp.asarray(t_seq, jnp.float32), jnp.asarray(at_seq, jnp.float32),
+                jnp.asarray(at_next_seq, jnp.float32))
+
+        def body(carry, row):
+            x, i = carry
+            t, at, at_next = row
+            eps = model_fn(x, jnp.full((x.shape[0],), t))
+            x0 = (x - eps * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
+            c1 = eta * jnp.sqrt((1.0 - at / at_next) * (1.0 - at_next) / (1.0 - at))
+            c2 = jnp.sqrt(jnp.maximum(1.0 - at_next - c1**2, 0.0))
+            x_next = jnp.sqrt(at_next) * x0 + c2 * eps
+            if eta > 0:
+                z = jax.random.normal(jax.random.fold_in(rng, i), x.shape, x.dtype)
+                x_next = x_next + c1 * z
+            return (x_next, i + 1), ()
+
+        (x, _), _ = jax.lax.scan(body, (x, jnp.asarray(0)), rows)
+        return x
+
+    return sampler
+
+
+def ddpm_ancestral_sampler(model_fn: Callable, ns: NoiseScheduleVP,
+                           *, steps: Optional[int] = None) -> Callable:
+    """Ancestral DDPM sampling (`ddpm_steps`, denoising.py:54-104) as one scan."""
+    n_train = ns.total_N
+    steps = n_train if steps is None else steps
+    seq = np.linspace(0, n_train - 1, steps).astype(np.int64)
+    log_alpha = np.asarray(
+        ns.marginal_log_mean_coeff_np((np.arange(n_train, dtype=np.float64) + 1) / n_train))
+    abar = np.exp(2.0 * log_alpha)
+    abar_prev = np.concatenate([[1.0], abar[:-1]])
+    beta = 1.0 - abar / abar_prev
+
+    t_seq = seq[::-1].astype(np.float64).copy()
+    at = abar[seq][::-1].copy()
+    atm1 = np.concatenate([[1.0], abar[seq]])[:-1][::-1].copy()
+    beta_t = 1.0 - at / atm1
+
+    def sampler(x, rng):
+        rows = tuple(jnp.asarray(v, jnp.float32) for v in (t_seq, at, atm1, beta_t))
+
+        def body(carry, row):
+            x, i = carry
+            t, at_i, atm1_i, beta_i = row
+            eps = model_fn(x, jnp.full((x.shape[0],), t))
+            x0 = (x - eps * jnp.sqrt(1.0 - at_i)) / jnp.sqrt(at_i)
+            x0 = jnp.clip(x0, -1.0, 1.0)
+            mean = (jnp.sqrt(atm1_i) * beta_i * x0 +
+                    jnp.sqrt(1.0 - beta_i) * (1.0 - atm1_i) * x) / (1.0 - at_i)
+            logvar = jnp.log(jnp.maximum(beta_i * (1.0 - atm1_i) / (1.0 - at_i), 1e-20))
+            z = jax.random.normal(jax.random.fold_in(rng, i), x.shape, x.dtype)
+            mask = jnp.asarray(t > 0, x.dtype)
+            x_next = mean + mask * jnp.exp(0.5 * logvar) * z
+            return (x_next, i + 1), ()
+
+        (x, _), _ = jax.lax.scan(body, (x, jnp.asarray(0)), rows)
+        return x
+
+    return sampler
