@@ -10,15 +10,21 @@ Env vars must be set before `jax` is imported anywhere in the test process.
 
 import os
 
-# The image pins JAX_PLATFORMS=axon (single real TPU via tunnel); tests always
-# run on the virtual CPU mesh instead, so override unconditionally.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The image pins JAX_PLATFORMS=axon (single real TPU via tunnel) and imports
+# jax at interpreter startup, so env-var overrides here are too late for
+# jax's import-time config read. Use jax.config.update instead — the backend
+# itself is only initialized on first device use, which happens inside tests,
+# so XLA_FLAGS (read at backend init) still takes effect via os.environ.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
