@@ -1,3 +1,11 @@
 from dpm_solver_tpu.models.ddpm_unet import DDPMUNet, DDPMUNetConfig
+from dpm_solver_tpu.models.ncsnpp import NCSNpp, NCSNppConfig
+from dpm_solver_tpu.models.ncsnpp_convert import params_from_reference
 
-__all__ = ["DDPMUNet", "DDPMUNetConfig"]
+__all__ = [
+    "DDPMUNet",
+    "DDPMUNetConfig",
+    "NCSNpp",
+    "NCSNppConfig",
+    "params_from_reference",
+]
