@@ -70,9 +70,25 @@ def _numerical_clip_alpha(log_alphas: np.ndarray, clipped_lambda: float = -5.1) 
     return log_alphas
 
 
+class _RefCompatMeta(type):
+    """Route reference-style construction to :meth:`NoiseScheduleVP.create`.
+
+    The reference API is ``NoiseScheduleVP('discrete', betas=...)``
+    (dpm_solver_pytorch.py:34-96); our dataclass constructor takes the full
+    field set. Any call that does not provide ``total_N`` (always present in
+    direct dataclass construction and pytree unflattening) is treated as a
+    reference-style call.
+    """
+
+    def __call__(cls, *args, **kwargs):
+        if len(args) < 2 and "total_N" not in kwargs:
+            return cls.create(*args, **kwargs)
+        return super().__call__(*args, **kwargs)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
-class NoiseScheduleVP:
+class NoiseScheduleVP(metaclass=_RefCompatMeta):
     """VP forward-process schedule: alpha_t, sigma_t, lambda_t and lambda^{-1}.
 
     q(x_t | x_0) = N(alpha_t x_0, sigma_t^2 I),  lambda_t = log alpha_t - log sigma_t.

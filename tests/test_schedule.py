@@ -175,3 +175,24 @@ def test_interp_linear_extrapolation_matches_reference_edges(reference_torch_mod
         torch.tensor(yp, dtype=torch.float64).reshape(1, -1),
     ).reshape(-1).numpy()
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_reference_style_constructor():
+    """The reference constructs via NoiseScheduleVP('discrete', betas=...)
+    (dpm_solver_pytorch.py:34-96); that spelling must work as a drop-in."""
+    betas = np.linspace(1e-4, 0.02, 1000)
+    a = NoiseScheduleVP("discrete", betas=betas)
+    b = NoiseScheduleVP.discrete(betas=betas)
+    t = jnp.linspace(1e-3, 1.0, 17)
+    np.testing.assert_allclose(np.asarray(a.marginal_lambda(t)),
+                               np.asarray(b.marginal_lambda(t)), rtol=0, atol=0)
+
+    lin = NoiseScheduleVP(schedule="linear", continuous_beta_0=0.1,
+                          continuous_beta_1=20.0)
+    assert lin.schedule == "linear" and lin.beta_1 == 20.0
+    assert NoiseScheduleVP("cosine").schedule == "cosine"
+
+    # pytree unflattening still reaches the raw dataclass constructor
+    leaves, td = jax.tree_util.tree_flatten(a)
+    c = jax.tree_util.tree_unflatten(td, leaves)
+    assert c.total_N == a.total_N
