@@ -100,3 +100,107 @@ def convert_ddpm_unet(state_dict: Mapping[str, np.ndarray]) -> dict:
         else:
             raise ValueError(f"unexpected leaf {key}")
     return {"params": params}
+
+
+# --------------------------------------------------------------------------- #
+# ADM / guided-diffusion / improved-DDPM UNets
+# --------------------------------------------------------------------------- #
+
+
+def _t_conv2d(sd, src):
+    return {"kernel": np.asarray(sd[src + ".weight"]).transpose(2, 3, 1, 0),
+            "bias": np.asarray(sd[src + ".bias"])}
+
+
+def _t_conv1d(sd, src):
+    w = np.asarray(sd[src + ".weight"])  # (O, I, 1)
+    return {"kernel": w[:, :, 0].transpose(1, 0),
+            "bias": np.asarray(sd[src + ".bias"])}
+
+
+def _t_dense(sd, src):
+    return {"kernel": np.asarray(sd[src + ".weight"]).transpose(1, 0),
+            "bias": np.asarray(sd[src + ".bias"])}
+
+
+def _t_gn(sd, src):
+    return {"norm": {"scale": np.asarray(sd[src + ".weight"]),
+                     "bias": np.asarray(sd[src + ".bias"])}}
+
+
+def convert_adm_unet(state_dict, config, classifier: bool = False) -> dict:
+    """guided-diffusion / improved-DDPM torch state dict -> ADMUNet /
+    ADMClassifier flax params. Driven by the same `layout()` walk the flax
+    modules use, so torch module indices line up by construction
+    (ref unet.py:480-616 / improved_ddpm/unet.py:321-461)."""
+    from dpm_solver_tpu.models.adm_unet import layout
+
+    sd = state_dict
+    plan = layout(config, encoder_only=classifier)
+    p: dict = {}
+
+    def put_layer(my_name, spec, src):
+        kind = spec["kind"]
+        if kind == "conv_in":
+            p[my_name] = _t_conv2d(sd, src)
+        elif kind == "res":
+            blk = {
+                "in_norm": _t_gn(sd, src + ".in_layers.0"),
+                "in_conv": _t_conv2d(sd, src + ".in_layers.2"),
+                "emb_proj": _t_dense(sd, src + ".emb_layers.1"),
+                "out_norm": _t_gn(sd, src + ".out_layers.0"),
+                "out_conv": _t_conv2d(sd, src + ".out_layers.3"),
+            }
+            if src + ".skip_connection.weight" in sd:
+                # always a conv2d weight, kernel 1x1 or 3x3 (unet.py:215-222)
+                blk["skip"] = _t_conv2d(sd, src + ".skip_connection")
+            p[my_name] = blk
+        elif kind == "attn":
+            p[my_name] = {
+                "norm": _t_gn(sd, src + ".norm"),
+                "qkv": _t_conv1d(sd, src + ".qkv"),
+                "proj_out": _t_conv1d(sd, src + ".proj_out"),
+            }
+        elif kind == "resample":
+            leaf = "conv" if spec["direction"] == "up" else "op"
+            if spec["with_conv"]:
+                p[my_name] = {"conv": _t_conv2d(sd, f"{src}.{leaf}")}
+        else:
+            raise ValueError(kind)
+
+    p["time_embed_0"] = _t_dense(sd, "time_embed.0")
+    p["time_embed_2"] = _t_dense(sd, "time_embed.2")
+    if "label_emb.weight" in sd:
+        p["label_emb"] = {"embedding": np.asarray(sd["label_emb.weight"])}
+
+    for n, layers in enumerate(plan["input_blocks"]):
+        for m, spec in enumerate(layers):
+            put_layer(f"input_blocks_{n}_{m}", spec, f"input_blocks.{n}.{m}")
+    for m, spec in enumerate(plan["middle"]):
+        put_layer(f"middle_block_{m}", spec, f"middle_block.{m}")
+    for n, layers in enumerate(plan["output_blocks"]):
+        for m, spec in enumerate(layers):
+            put_layer(f"output_blocks_{n}_{m}", spec, f"output_blocks.{n}.{m}")
+
+    if not classifier:
+        p["out_norm"] = _t_gn(sd, "out.0")
+        p["out_conv"] = _t_conv2d(sd, "out.2")
+    elif config.pool == "adaptive":
+        p["out_norm"] = _t_gn(sd, "out.0")
+        p["out_conv"] = _t_conv2d(sd, "out.3")
+    elif config.pool == "attention":
+        p["out_norm"] = _t_gn(sd, "out.0")
+        p["out_pool"] = {
+            "positional_embedding":
+                np.asarray(sd["out.2.positional_embedding"]).transpose(1, 0),
+            "qkv_proj": _t_conv1d(sd, "out.2.qkv_proj"),
+            "c_proj": _t_conv1d(sd, "out.2.c_proj"),
+        }
+    elif config.pool == "spatial":
+        p["out_fc0"] = _t_dense(sd, "out.0")
+        p["out_fc1"] = _t_dense(sd, "out.2")
+    elif config.pool == "spatial_v2":
+        p["out_fc0"] = _t_dense(sd, "out.0")
+        p["out_norm"] = _t_gn(sd, "out.1")
+        p["out_fc1"] = _t_dense(sd, "out.3")
+    return {"params": p}
