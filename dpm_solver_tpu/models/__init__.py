@@ -1,8 +1,18 @@
+from dpm_solver_tpu.models.adm_unet import (
+    ADMClassifier,
+    ADMConfig,
+    ADMUNet,
+    super_res_inputs,
+)
 from dpm_solver_tpu.models.ddpm_unet import DDPMUNet, DDPMUNetConfig
 from dpm_solver_tpu.models.ncsnpp import NCSNpp, NCSNppConfig
 from dpm_solver_tpu.models.ncsnpp_convert import params_from_reference
 
 __all__ = [
+    "ADMClassifier",
+    "ADMConfig",
+    "ADMUNet",
+    "super_res_inputs",
     "DDPMUNet",
     "DDPMUNetConfig",
     "NCSNpp",

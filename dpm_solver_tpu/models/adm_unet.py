@@ -57,6 +57,11 @@ class ADMConfig:
     use_scale_shift_norm: bool = False
     resblock_updown: bool = False
     use_new_attention_order: bool = False
+    # SD / latent-diffusion extension (openaimodel.py:443-468):
+    use_spatial_transformer: bool = False
+    transformer_depth: int = 1
+    context_dim: Optional[int] = None
+    legacy: bool = True
     # EncoderUNetModel only:
     pool: str = "adaptive"  # adaptive | attention | spatial | spatial_v2
 
@@ -69,6 +74,18 @@ class ADMConfig:
             channel_mult=(1, 1, 2, 2, 4, 4), num_classes=1000,
             num_head_channels=64, use_scale_shift_norm=True,
             resblock_updown=True, use_new_attention_order=False,
+        )
+
+    @staticmethod
+    def sd_v1() -> "ADMConfig":
+        """Stable Diffusion v1 UNet (configs/stable-diffusion/v1-inference.yaml):
+        4-ch latents at 64x64, cross-attention on 768-d CLIP context."""
+        return ADMConfig(
+            image_size=64, in_channels=4, model_channels=320, out_channels=4,
+            num_res_blocks=2, attention_resolutions=(1, 2, 4),
+            channel_mult=(1, 2, 4, 4), num_heads=8,
+            use_spatial_transformer=True, transformer_depth=1,
+            context_dim=768,
         )
 
     @staticmethod
@@ -198,13 +215,35 @@ class ADMResBlock(nn.Module):
         return x + h
 
 
-def _heads_for(c: int, cfg: ADMConfig, upsample: bool = False) -> int:
-    if cfg.num_head_channels != -1:
-        assert c % cfg.num_head_channels == 0
-        return c // cfg.num_head_channels
-    if upsample and cfg.num_heads_upsample != -1:
-        return cfg.num_heads_upsample
-    return cfg.num_heads
+class _HeadPlanner:
+    """Replays the reference's per-site head arithmetic, including the fact
+    that `num_heads` is a *mutable local* in the torch constructor: once
+    num_head_channels is set it is overwritten at every attention site and
+    the new value leaks into later SpatialTransformer sites
+    (openaimodel.py:543-553,589-596,644-651; guided unet.py:277-283)."""
+
+    def __init__(self, cfg: ADMConfig):
+        self.cfg = cfg
+        self.num_heads = cfg.num_heads
+        self.heads_up = (cfg.num_heads_upsample
+                         if cfg.num_heads_upsample != -1 else cfg.num_heads)
+
+    def spec(self, ch: int, upsample: bool = False) -> dict:
+        cfg = self.cfg
+        if cfg.num_head_channels == -1:
+            dim_head = ch // self.num_heads
+        else:
+            self.num_heads = ch // cfg.num_head_channels
+            dim_head = cfg.num_head_channels
+        if cfg.legacy:
+            dim_head = (ch // self.num_heads if cfg.use_spatial_transformer
+                        else cfg.num_head_channels)
+        if cfg.use_spatial_transformer:
+            return dict(kind="xattn", heads=self.num_heads, dim_head=dim_head,
+                        depth=cfg.transformer_depth)
+        site_heads = self.heads_up if upsample else self.num_heads
+        eff = ch // dim_head if dim_head != -1 else site_heads
+        return dict(kind="attn", heads=eff)
 
 
 def qkv_attention(qkv, num_heads: int, *, new_order: bool):
@@ -287,6 +326,7 @@ def layout(cfg: ADMConfig, encoder_only: bool = False) -> Dict[str, Any]:
     Spec kinds: conv_in | res | attn | resample."""
 
     mc = cfg.model_channels
+    heads = _HeadPlanner(cfg)
     ch = int(cfg.channel_mult[0] * mc)
     input_blocks: List[List[dict]] = [[dict(kind="conv_in", out_ch=ch)]]
     chans = [ch]
@@ -296,7 +336,7 @@ def layout(cfg: ADMConfig, encoder_only: bool = False) -> Dict[str, Any]:
             layers = [dict(kind="res", out_ch=int(mult * mc))]
             ch = int(mult * mc)
             if ds in cfg.attention_resolutions:
-                layers.append(dict(kind="attn", heads=_heads_for(ch, cfg)))
+                layers.append(heads.spec(ch))
             input_blocks.append(layers)
             chans.append(ch)
         if level != len(cfg.channel_mult) - 1:
@@ -311,7 +351,7 @@ def layout(cfg: ADMConfig, encoder_only: bool = False) -> Dict[str, Any]:
             ds *= 2
 
     middle = [dict(kind="res", out_ch=ch),
-              dict(kind="attn", heads=_heads_for(ch, cfg)),
+              heads.spec(ch),
               dict(kind="res", out_ch=ch)]
 
     output_blocks: List[List[dict]] = []
@@ -323,8 +363,7 @@ def layout(cfg: ADMConfig, encoder_only: bool = False) -> Dict[str, Any]:
                 layers = [dict(kind="res", out_ch=int(mult * mc))]
                 ch = int(mult * mc)
                 if ds in cfg.attention_resolutions:
-                    layers.append(dict(
-                        kind="attn", heads=_heads_for(ch, cfg, upsample=True)))
+                    layers.append(heads.spec(ch, upsample=True))
                 if level and i == cfg.num_res_blocks:
                     if cfg.resblock_updown:
                         layers.append(dict(kind="res", out_ch=ch,
@@ -345,7 +384,8 @@ class _ADMBase(nn.Module):
     config: ADMConfig
     compute_dtype: Any = jnp.float32
 
-    def _layer(self, name: str, spec: dict, h, emb, deterministic):
+    def _layer(self, name: str, spec: dict, h, emb, deterministic,
+               context=None):
         cfg = self.config
         dt = self.compute_dtype
         kind = spec["kind"]
@@ -362,6 +402,12 @@ class _ADMBase(nn.Module):
             return ADMAttention(num_heads=spec["heads"],
                                 new_order=cfg.use_new_attention_order,
                                 dtype=dt, name=name)(h)
+        if kind == "xattn":
+            from dpm_solver_tpu.models.transformer import SpatialTransformer
+
+            return SpatialTransformer(
+                heads=spec["heads"], dim_head=spec["dim_head"],
+                depth=spec["depth"], dtype=dt, name=name)(h, context=context)
         if kind == "resample":
             return ADMResample(direction=spec["direction"],
                                out_ch=spec["out_ch"],
@@ -385,7 +431,7 @@ class ADMUNet(_ADMBase):
     int class labels iff config.num_classes is set."""
 
     @nn.compact
-    def __call__(self, x, t, y=None, *, deterministic=True):
+    def __call__(self, x, t, y=None, context=None, *, deterministic=True):
         cfg = self.config
         assert (y is not None) == (cfg.num_classes is not None)
         plan = layout(cfg)
@@ -399,15 +445,16 @@ class ADMUNet(_ADMBase):
         for n, layers in enumerate(plan["input_blocks"]):
             for m, spec in enumerate(layers):
                 h = self._layer(f"input_blocks_{n}_{m}", spec, h, emb,
-                                deterministic)
+                                deterministic, context)
             hs.append(h)
         for m, spec in enumerate(plan["middle"]):
-            h = self._layer(f"middle_block_{m}", spec, h, emb, deterministic)
+            h = self._layer(f"middle_block_{m}", spec, h, emb, deterministic,
+                            context)
         for n, layers in enumerate(plan["output_blocks"]):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             for m, spec in enumerate(layers):
                 h = self._layer(f"output_blocks_{n}_{m}", spec, h, emb,
-                                deterministic)
+                                deterministic, context)
         h = jax.nn.silu(GroupNorm32(name="out_norm")(h.astype(x.dtype)))
         return nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                        kernel_init=_zero_init(), dtype=self.compute_dtype,

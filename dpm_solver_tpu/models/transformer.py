@@ -1,0 +1,122 @@
+"""Cross-attention SpatialTransformer stack (Stable Diffusion's conditioning
+path) in Flax, NHWC, TPU-first.
+
+Behavioral twin of examples/stable-diffusion/ldm/modules/attention.py:
+CrossAttention (:152-195), GEGLU/FeedForward (:37-65),
+BasicTransformerBlock (:196-215), SpatialTransformer (:218-261).
+
+TPU-first: attention runs as batched head-major einsums (B, T, H, D) feeding
+the MXU — no (b*h) reshape round-trips — with fp32 softmax for bf16 safety;
+the q/k/v projections of *self*-attention fuse into one matmul when the
+context is the token stream itself.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; keys/values from `context` (defaults to self).
+
+    Params mirror the reference: to_q/to_k/to_v are bias-free, the output
+    projection has a bias (attention.py:161-168).
+    """
+
+    heads: int
+    dim_head: int
+    out_dim: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, t, q_dim = x.shape
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                         name=name)
+        if context is None:
+            # self-attention: one fused (C, 3*inner) matmul
+            qkv = jnp.concatenate(
+                [dense(inner, n)(x) for n in ("to_q", "to_k", "to_v")], -1)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense(inner, "to_q")(x)
+            k = dense(inner, "to_k")(ctx)
+            v = dense(inner, "to_v")(ctx)
+        s = ctx.shape[1]
+        q = q.reshape(b, t, self.heads, self.dim_head)
+        k = k.reshape(b, s, self.heads, self.dim_head)
+        v = v.reshape(b, s, self.heads, self.dim_head)
+        logits = jnp.einsum("bthd,bshd->bhts", q, k) * (self.dim_head ** -0.5)
+        att = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, inner)
+        return nn.Dense(self.out_dim or q_dim, dtype=self.dtype,
+                        name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """FeedForward with gated-GELU projection (attention.py:37-65; SD always
+    uses glu=True via gated_ff)."""
+
+    mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        h = nn.Dense(2 * inner, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gate, approximate=False)
+        return nn.Dense(dim, dtype=self.dtype, name="out")(h)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LayerNorm: self-attn -> cross-attn(context) -> GEGLU MLP
+    (BasicTransformerBlock, attention.py:196-215)."""
+
+    heads: int
+    dim_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                       name=name)
+        attn = lambda name: CrossAttention(self.heads, self.dim_head,
+                                           dtype=self.dtype, name=name)
+        x = x + attn("attn1")(ln("norm1")(x))
+        x = x + attn("attn2")(ln("norm2")(x), context=context)
+        x = x + GEGLUFeedForward(dtype=self.dtype, name="ff")(ln("norm3")(x))
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm -> 1x1 proj -> transformer over HW tokens -> 1x1 zero-init
+    proj, residual (attention.py:218-261). NHWC in/out."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, hh, ww, c = x.shape
+        inner = self.heads * self.dim_head
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
+                         name="norm")(x.astype(jnp.float32)).astype(x.dtype)
+        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(b, hh * ww, inner)
+        for d in range(self.depth):
+            h = TransformerBlock(self.heads, self.dim_head, dtype=self.dtype,
+                                 name=f"block_{d}")(h, context=context)
+        h = h.reshape(b, hh, ww, inner)
+        h = nn.Conv(c, (1, 1), kernel_init=jax.nn.initializers.zeros,
+                    dtype=self.dtype, name="proj_out")(h)
+        return x + h

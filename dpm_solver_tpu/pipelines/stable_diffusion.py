@@ -1,0 +1,255 @@
+"""Stable-Diffusion sampling pipeline: latent DPM-Solver + VAE + CLIP glue.
+
+TPU-native rebuild of the reference LDM integration:
+  * `DPMSolverSampler` — drop-in twin of the adapter at
+    examples/stable-diffusion/ldm/models/diffusion/dpm_solver/sampler.py:8-162
+    (sample / encode / stochastic_encode, time<->ratio converters), built on
+    our schedule/wrapper/solver instead of the vendored torch file.
+  * `LatentDiffusion` — the minimal model bundle the adapter needs
+    (apply_model + first-stage encode/decode + conditioning), standing in for
+    the reference's 1445-line PL module (ldm/models/diffusion/ddpm.py) whose
+    training scaffolding is out of sampling-parity scope.
+  * `StableDiffusionPipeline` — txt2img / img2img front end mirroring
+    scripts/txt2img.py:97-345 (CFG at scale 7.5, PNG-ready [0,1] output).
+
+Everything after text encoding compiles to one XLA program per (shape,
+steps) configuration: CFG pair folded into the batch, the full solver
+trajectory under lax.scan, then the VAE decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpm_solver_tpu.models.adm_unet import ADMConfig, ADMUNet
+from dpm_solver_tpu.models.vae import AutoencoderKL, VAEConfig, convert_autoencoder_kl
+from dpm_solver_tpu.schedule import NoiseScheduleVP
+from dpm_solver_tpu.solver import DPM_Solver
+from dpm_solver_tpu.utils.convert import convert_adm_unet
+from dpm_solver_tpu.wrapper import model_wrapper
+
+
+def make_ldm_betas(n_timestep: int = 1000, linear_start: float = 0.00085,
+                   linear_end: float = 0.0120) -> np.ndarray:
+    """LDM's 'linear' beta schedule is sqrt-space linear
+    (ldm/modules/diffusionmodules/util.py make_beta_schedule)."""
+    return np.linspace(linear_start ** 0.5, linear_end ** 0.5, n_timestep,
+                       dtype=np.float64) ** 2
+
+
+@dataclasses.dataclass
+class LatentDiffusion:
+    """Minimal LDM bundle: eps-UNet over latents + KL first stage + text glue.
+
+    `text_encode(prompts) -> (B, T, context_dim)` is injected (FrozenCLIPEmbedder
+    or any callable). `scale_factor` follows v1-inference.yaml (0.18215).
+    """
+
+    unet: ADMUNet
+    unet_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+    text_encode: Optional[Callable] = None
+    betas: np.ndarray = dataclasses.field(default_factory=make_ldm_betas)
+    scale_factor: float = 0.18215
+
+    @property
+    def alphas_cumprod(self) -> np.ndarray:
+        return np.cumprod(1.0 - self.betas)
+
+    def apply_model(self, x, t, context):
+        """eps-prediction on latents; t are discrete labels in [0, N)."""
+        return self.unet.apply(self.unet_params, x, t, None, context,
+                               deterministic=True)
+
+    def get_learned_conditioning(self, prompts):
+        if self.text_encode is None:
+            raise ValueError("no text encoder attached")
+        return self.text_encode(prompts)
+
+    def encode_first_stage(self, img, *, sample_rng=None):
+        """image [-1,1] NHWC -> scaled latent (mode unless rng given)."""
+        posterior = self.vae.apply(self.vae_params, img,
+                                   method=AutoencoderKL.encode)
+        z = posterior.mode() if sample_rng is None else posterior.sample(sample_rng)
+        return self.scale_factor * z
+
+    def decode_first_stage(self, z):
+        return self.vae.apply(self.vae_params, z / self.scale_factor,
+                              method=AutoencoderKL.decode)
+
+
+class DPMSolverSampler:
+    """Reference-compatible adapter (sampler.py:8-162): CFG multistep
+    DPM-Solver++ over LDM latents, deterministic/stochastic encoding."""
+
+    def __init__(self, model: LatentDiffusion):
+        self.model = model
+        self.noise_schedule = NoiseScheduleVP(
+            "discrete", alphas_cumprod=model.alphas_cumprod)
+
+    def _model_fn(self, conditioning, unconditional_conditioning, scale):
+        return model_wrapper(
+            lambda x, t, c: self.model.apply_model(x, t, c),
+            self.noise_schedule,
+            model_type="noise",
+            guidance_type="classifier-free",
+            condition=conditioning,
+            unconditional_condition=unconditional_conditioning,
+            guidance_scale=scale,
+        )
+
+    def sample(self, S: int, batch_size: int, shape: Tuple[int, int, int],
+               conditioning=None, *, unconditional_guidance_scale: float = 1.0,
+               unconditional_conditioning=None, x_T=None, rng=None,
+               skip_type: str = "time_uniform", method: str = "multistep",
+               order: int = 2, lower_order_final: bool = True,
+               correcting_xt_fn: Optional[Callable] = None,
+               t_start=None, t_end=None, return_intermediate: bool = True):
+        """shape is (H, W, C) latent shape (NHWC world). Returns
+        (x, intermediates) like the reference."""
+        h, w, c = shape
+        if x_T is None:
+            if rng is None:
+                raise ValueError("pass x_T or rng")
+            x_T = jax.random.normal(rng, (batch_size, h, w, c))
+        model_fn = self._model_fn(conditioning, unconditional_conditioning,
+                                  unconditional_guidance_scale)
+        solver = DPM_Solver(model_fn, self.noise_schedule,
+                            algorithm_type="dpmsolver++",
+                            correcting_xt_fn=correcting_xt_fn)
+        out = solver.sample(x_T, steps=S, t_start=t_start, t_end=t_end,
+                            order=order, skip_type=skip_type, method=method,
+                            lower_order_final=lower_order_final,
+                            return_intermediate=return_intermediate)
+        return out if return_intermediate else (out, None)
+
+    def stochastic_encode(self, x0, encode_ratio: float, noise=None, rng=None):
+        """q(x_t | x_0) forward noising to the given ratio (sampler.py:91-96)."""
+        t_end = self.ratio_to_time(encode_ratio)
+        solver = DPM_Solver(None, self.noise_schedule)
+        return solver.add_noise(x0, jnp.asarray([t_end]), noise=noise, rng=rng)
+
+    def encode(self, S: int, x, encode_ratio: float, conditioning=None, *,
+               unconditional_guidance_scale: float = 1.0,
+               unconditional_conditioning=None,
+               skip_type: str = "time_uniform", method: str = "multistep",
+               order: int = 2, lower_order_final: bool = False,
+               return_intermediate: bool = True):
+        """Deterministic ODE encoding x_0 -> x_t (sampler.py:98-138)."""
+        model_fn = self._model_fn(conditioning, unconditional_conditioning,
+                                  unconditional_guidance_scale)
+        solver = DPM_Solver(model_fn, self.noise_schedule,
+                            algorithm_type="dpmsolver++")
+        t_end = self.ratio_to_time(encode_ratio)
+        out = solver.inverse(x, steps=S, t_end=t_end, skip_type=skip_type,
+                             method=method, order=order,
+                             lower_order_final=lower_order_final,
+                             return_intermediate=return_intermediate)
+        return out if return_intermediate else (out, None)
+
+    # -- time <-> ratio converters (sampler.py:140-162) -----------------------
+
+    def time_discrete_to_continuous(self, t_discrete):
+        return (t_discrete + 1.0) / self.noise_schedule.total_N
+
+    def time_continuous_to_discrete(self, t_continuous):
+        return t_continuous * self.noise_schedule.total_N - 1.0
+
+    def ratio_to_time(self, ratio):
+        n = self.noise_schedule.total_N
+        return (1.0 - 1.0 / n) * ratio + 1.0 / n
+
+    def time_to_ratio(self, t_continuous):
+        n = self.noise_schedule.total_N
+        return (t_continuous - 1.0 / n) / (1.0 - 1.0 / n)
+
+
+class StableDiffusionPipeline:
+    """txt2img / img2img front end (ref scripts/txt2img.py:97-345,
+    scripts/img2img.py). Latent shape = image / 8; CFG via one doubled batch."""
+
+    def __init__(self, model: LatentDiffusion):
+        self.model = model
+        self.sampler = DPMSolverSampler(model)
+        # spatial reduction of the first stage (8x for the SD VAE)
+        self.vae_factor = 2 ** (len(model.vae.config.ch_mult) - 1)
+
+    def txt2img(self, prompts, *, negative_prompt: str = "", steps: int = 25,
+                guidance_scale: float = 7.5, height: int = 512,
+                width: int = 512, rng=None, order: int = 2):
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        b = len(prompts)
+        cond = self.model.get_learned_conditioning(prompts)
+        uncond = self.model.get_learned_conditioning([negative_prompt] * b)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        f = self.vae_factor
+        latents, _ = self.sampler.sample(
+            steps, b, (height // f, width // f,
+                       self.model.vae.config.z_channels), cond,
+            unconditional_guidance_scale=guidance_scale,
+            unconditional_conditioning=uncond, rng=rng, order=order)
+        img = self.model.decode_first_stage(latents)
+        return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+
+    def img2img(self, init_image, prompts, *, strength: float = 0.75,
+                negative_prompt: str = "", steps: int = 25,
+                guidance_scale: float = 7.5, rng=None, order: int = 2):
+        """init_image in [-1,1] NHWC; noise to `strength` ratio, then sample
+        back down (ref scripts/img2img.py semantics)."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        b = len(prompts)
+        assert init_image.shape[0] == b
+        cond = self.model.get_learned_conditioning(prompts)
+        uncond = self.model.get_learned_conditioning([negative_prompt] * b)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        rng_n, rng_s = jax.random.split(rng)
+        z0 = self.model.encode_first_stage(init_image)
+        t_enc = self.sampler.ratio_to_time(strength)
+        z_t = self.sampler.stochastic_encode(z0, strength, rng=rng_n)
+        steps_eff = max(1, int(steps * strength))
+        latents, _ = self.sampler.sample(
+            steps_eff, b, z0.shape[1:], cond,
+            unconditional_guidance_scale=guidance_scale,
+            unconditional_conditioning=uncond, x_T=z_t, t_start=t_enc,
+            order=min(order, steps_eff))
+        img = self.model.decode_first_stage(latents)
+        return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+
+
+def load_sd_checkpoint(path_or_state_dict, *,
+                       unet_config: Optional[ADMConfig] = None,
+                       vae_config: Optional[VAEConfig] = None,
+                       text_encode: Optional[Callable] = None) -> LatentDiffusion:
+    """Build a LatentDiffusion from a CompVis SD checkpoint: routes
+    `model.diffusion_model.*` through convert_adm_unet and
+    `first_stage_model.*` through convert_autoencoder_kl. Accepts a path or a
+    pre-loaded state dict (incl. EMA-swapped dicts)."""
+    if isinstance(path_or_state_dict, (str,)):
+        from dpm_solver_tpu.utils.convert import load_torch_state_dict
+
+        sd = load_torch_state_dict(path_or_state_dict)
+    else:
+        sd = {k: np.asarray(v) for k, v in path_or_state_dict.items()}
+
+    unet_config = unet_config or ADMConfig.sd_v1()
+    vae_config = vae_config or VAEConfig.sd_v1()
+
+    unet_sd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
+               if k.startswith("model.diffusion_model.")}
+    if not unet_sd:
+        raise ValueError("no model.diffusion_model.* keys in checkpoint")
+    unet_params = convert_adm_unet(unet_sd, unet_config)
+    vae_params = convert_autoencoder_kl(sd, vae_config)
+
+    return LatentDiffusion(
+        unet=ADMUNet(config=unet_config), unet_params=unet_params,
+        vae=AutoencoderKL(config=vae_config), vae_params=vae_params,
+        text_encode=text_encode)

@@ -128,6 +128,22 @@ def _t_gn(sd, src):
                      "bias": np.asarray(sd[src + ".bias"])}}
 
 
+def _t_affine(sd, src):
+    """LayerNorm / bare GroupNorm affine params (not wrapped in GroupNorm32)."""
+    return {"scale": np.asarray(sd[src + ".weight"]),
+            "bias": np.asarray(sd[src + ".bias"])}
+
+
+def _t_xattn(sd, src):
+    """CrossAttention: bias-free q/k/v, biased out proj (attention.py:161-168)."""
+    out = {}
+    for leaf in ("to_q", "to_k", "to_v"):
+        out[leaf] = {"kernel":
+                     np.asarray(sd[f"{src}.{leaf}.weight"]).transpose(1, 0)}
+    out["to_out"] = _t_dense(sd, src + ".to_out.0")
+    return out
+
+
 def convert_adm_unet(state_dict, config, classifier: bool = False) -> dict:
     """guided-diffusion / improved-DDPM torch state dict -> ADMUNet /
     ADMClassifier flax params. Driven by the same `layout()` walk the flax
@@ -161,6 +177,24 @@ def convert_adm_unet(state_dict, config, classifier: bool = False) -> dict:
                 "qkv": _t_conv1d(sd, src + ".qkv"),
                 "proj_out": _t_conv1d(sd, src + ".proj_out"),
             }
+        elif kind == "xattn":
+            blk = {
+                "norm": _t_affine(sd, src + ".norm"),
+                "proj_in": _t_conv2d(sd, src + ".proj_in"),
+                "proj_out": _t_conv2d(sd, src + ".proj_out"),
+            }
+            for d in range(spec["depth"]):
+                t = f"{src}.transformer_blocks.{d}"
+                blk[f"block_{d}"] = {
+                    "norm1": _t_affine(sd, t + ".norm1"),
+                    "norm2": _t_affine(sd, t + ".norm2"),
+                    "norm3": _t_affine(sd, t + ".norm3"),
+                    "attn1": _t_xattn(sd, t + ".attn1"),
+                    "attn2": _t_xattn(sd, t + ".attn2"),
+                    "ff": {"proj": _t_dense(sd, t + ".ff.net.0.proj"),
+                           "out": _t_dense(sd, t + ".ff.net.2")},
+                }
+            p[my_name] = blk
         elif kind == "resample":
             leaf = "conv" if spec["direction"] == "up" else "op"
             if spec["with_conv"]:
