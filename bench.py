@@ -34,7 +34,11 @@ def build_model():
 
     cfg = DDPMUNetConfig.cifar10()
     model = DDPMUNet(cfg, compute_dtype=jnp.bfloat16)
-    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)))
+    # jit the init: un-jitted flax init dispatches one tiny op per parameter,
+    # which is pathologically slow over a tunneled TPU (~150s for this net)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)))
+    print("# model init done", file=sys.stderr, flush=True)
     return lambda x, t: model.apply(params, x, t)
 
 
@@ -71,8 +75,12 @@ def bench_reference_jax(raw_model, ns_betas, x_T):
     solver = ref.DPM_Solver(model_fn, ns_ref, predict_x0=True)
 
     def run(x):
+        # the reference's discrete-schedule interpolation needs array-typed
+        # endpoint times (float .reshape fails inside its interpolate_fn)
         return solver.sample(x, steps=STEPS, order=3, skip_type="logSNR",
-                             method="multistep", t_start=1.0, t_end=1e-3)
+                             method="multistep",
+                             t_start=jnp.asarray(1.0),
+                             t_end=jnp.asarray(1e-3))
 
     jrun = jax.jit(run)
     return time_fn(lambda x: jrun(x), x_T)
@@ -117,6 +125,7 @@ def main():
         (BATCH, 32, 32, 3)), jnp.float32)
 
     t_ours = bench_ours(raw_model, ns, x_T)
+    print(f"# ours timed: {t_ours*1e3:.1f} ms/batch", file=sys.stderr, flush=True)
     try:
         t_base = bench_reference_jax(raw_model, betas, x_T)
         baseline = "reference_dpm_solver_jax"

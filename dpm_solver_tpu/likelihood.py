@@ -1,0 +1,121 @@
+"""Exact log-likelihood (bits/dim) via the probability-flow ODE, on-device.
+
+Behavioral twin of examples/score_sde_jax/likelihood.py:28-123 (Hutchinson–
+Skilling divergence + black-box RK45 over the augmented [x, log p] ODE),
+re-designed TPU-first: the divergence probe rides a single `jax.jvp`
+(forward-mode; the reference builds a full vjp graph per eval, :31-34), and
+the whole augmented integration runs inside one XLA program via
+`dpm_solver_tpu.ode.odeint_rk45` instead of scipy's host-stepped solve_ivp —
+so the estimator jits, vmaps over Hutchinson probes, and pjits over the
+batch. Also provides the black-box `ode_sampler` twin of the reference's
+'ode' sampler registry entry (sampling.py:459-536).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dpm_solver_tpu.ode import odeint_rk45
+from dpm_solver_tpu.sde import reverse_sde
+
+
+def hutchinson_divergence(fn: Callable, x, t, eps):
+    """eps^T J_fn(x) eps via one jvp; unbiased estimate of div fn
+    (ref likelihood.py:28-36, which uses the vjp form)."""
+    _, jvp = jax.jvp(lambda xi: fn(xi, t), (x,), (eps,))
+    return jnp.sum(jvp * eps, axis=tuple(range(1, x.ndim)))
+
+
+def sample_hutchinson(rng, shape, kind: str = "Rademacher", dtype=jnp.float32):
+    if kind == "Gaussian":
+        return jax.random.normal(rng, shape, dtype)
+    if kind == "Rademacher":
+        return (jax.random.randint(rng, shape, 0, 2).astype(dtype) * 2.0 - 1.0)
+    raise ValueError(f"Hutchinson type {kind!r} unknown")
+
+
+def get_likelihood_fn(
+    sde,
+    score_fn: Callable,
+    *,
+    hutchinson_type: str = "Rademacher",
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    eps: float = 1e-5,
+    max_steps: int = 20_000,
+    inverse_scaler_grad: Optional[float] = None,
+):
+    """Returns `likelihood_fn(rng, data) -> (bpd, z, nfe)`.
+
+    `inverse_scaler_grad`: d(inverse_scaler)/dx at 0 — 0.5 for centered
+    [-1,1] data, 1.0 (default) for [0,1] data (ref likelihood.py:118-121:
+    offset = log2(grad) + 8).
+    """
+    grad0 = 1.0 if inverse_scaler_grad is None else float(inverse_scaler_grad)
+    offset = math.log2(grad0) + 8.0
+
+    drift_fn = reverse_sde(sde, score_fn, probability_flow=True).sde
+
+    def likelihood_fn(rng, data):
+        epsilon = sample_hutchinson(rng, data.shape, hutchinson_type,
+                                    data.dtype)
+
+        def aug_drift(state, t):
+            x, _ = state
+            vec_t = jnp.full((x.shape[0],), t, x.dtype)
+            drift = drift_fn(x, vec_t)[0]
+            div = hutchinson_divergence(
+                lambda xi, ti: drift_fn(xi, ti)[0], x, vec_t, epsilon)
+            return (drift, div)
+
+        init = (data, jnp.zeros((data.shape[0],), data.dtype))
+        (z, delta_logp), nfe = odeint_rk45(
+            aug_drift, init, eps, float(sde.T), rtol=rtol, atol=atol,
+            max_steps=max_steps)
+        prior_logp = sde.prior_logp(z)
+        n_dim = data[0].size
+        bpd = -(prior_logp + delta_logp) / math.log(2.0) / n_dim + offset
+        return bpd, z, nfe
+
+    return likelihood_fn
+
+
+def ode_sampler(
+    sde,
+    score_fn: Callable,
+    shape: Tuple[int, ...],
+    rng,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    eps: float = 1e-3,
+    denoise: bool = False,
+    x_init=None,
+    max_steps: int = 20_000,
+):
+    """Black-box probability-flow sampler (ref sampling.py:459-536): draw
+    from the prior at T, integrate T -> eps on-device, optional final
+    Tweedie denoise. Returns (x, nfe)."""
+    drift_fn = reverse_sde(sde, score_fn, probability_flow=True).sde
+    x = sde.prior_sampling(rng, shape) if x_init is None else x_init
+
+    def func(xi, t):
+        vec_t = jnp.full((xi.shape[0],), t, xi.dtype)
+        return drift_fn(xi, vec_t)[0]
+
+    x, nfe = odeint_rk45(func, x, float(sde.T), eps, rtol=rtol, atol=atol,
+                         max_steps=max_steps)
+    if denoise:
+        vec_t = jnp.full((x.shape[0],), eps, x.dtype)
+        # one reverse-diffusion (Tweedie) step to t=0
+        f, g = sde.sde(x, vec_t)
+        score = score_fn(x, vec_t)
+        from dpm_solver_tpu.sde import batch_mul
+
+        x = x - (f - batch_mul(g ** 2, score)) * eps
+    return x, nfe
