@@ -42,13 +42,20 @@ def build_model():
     return lambda x, t: model.apply(params, x, t)
 
 
+def _sync(out):
+    """Force real device completion: through the tunneled axon backend
+    `block_until_ready` returns before execution finishes, so fetch a
+    scalar — the device queue is serial, so this waits for everything."""
+    return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+
+
 def time_fn(fn, *args, reps=REPS):
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
+    _sync(fn(*args))  # compile + warm incl. one transfer
     t0 = time.perf_counter()
+    out = None
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps
 
 

@@ -256,20 +256,22 @@ def qkv_attention(qkv, num_heads: int, *, new_order: bool):
     Softmax in fp32; the reference's sqrt-sqrt scaling is applied to q and k
     symmetrically for fp16/bf16 stability.
     """
+    from dpm_solver_tpu.ops.attention import token_attention
+
     b, t, w = qkv.shape
     c = w // 3
     ch = c // num_heads
     if new_order:
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (u.reshape(b, t, num_heads, ch) for u in (q, k, v))
     else:
         grouped = qkv.reshape(b, t, num_heads, 3 * ch)
-        q, k, v = jnp.split(grouped, 3, axis=-1)
-    scale = 1.0 / math.sqrt(math.sqrt(ch))
-    logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
-    att = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qkv.dtype)
-    out = jnp.einsum("bhts,bshc->bthc", att, v)
-    return out.reshape(b, t, c)
+        parts = jnp.split(grouped, 3, axis=-1)
+        q, k, v = (u.reshape(b, t, c) for u in parts)
+    # the reference scales q and k by ch^-1/4 each for fp16 stability
+    # (unet.py:348,381); our kernel computes logits in fp32, so the single
+    # ch^-1/2 scale is equivalent and stable
+    return token_attention(q, k, v, num_heads=num_heads,
+                           scale=1.0 / math.sqrt(ch))
 
 
 class ADMAttention(nn.Module):

@@ -48,13 +48,10 @@ class CrossAttention(nn.Module):
             q = dense(inner, "to_q")(x)
             k = dense(inner, "to_k")(ctx)
             v = dense(inner, "to_v")(ctx)
-        s = ctx.shape[1]
-        q = q.reshape(b, t, self.heads, self.dim_head)
-        k = k.reshape(b, s, self.heads, self.dim_head)
-        v = v.reshape(b, s, self.heads, self.dim_head)
-        logits = jnp.einsum("bthd,bshd->bhts", q, k) * (self.dim_head ** -0.5)
-        att = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, inner)
+        from dpm_solver_tpu.ops.attention import token_attention
+
+        out = token_attention(q, k, v, num_heads=self.heads,
+                              scale=self.dim_head ** -0.5)
         return nn.Dense(self.out_dim or q_dim, dtype=self.dtype,
                         name="to_out")(out)
 

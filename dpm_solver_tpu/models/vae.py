@@ -97,12 +97,12 @@ class VAEAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, hh, ww, c = x.shape
+        from dpm_solver_tpu.ops.attention import token_attention
+
         tokens = _norm("norm")(x).reshape(b, hh * ww, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(tokens)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k) * (c ** -0.5)
-        att = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
-        h = jnp.einsum("bqk,bkc->bqc", att, v)
+        h = token_attention(q, k, v, num_heads=1, scale=c ** -0.5)
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
         return x + h.reshape(b, hh, ww, c)
 

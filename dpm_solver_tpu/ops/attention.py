@@ -1,0 +1,144 @@
+"""Pallas TPU attention kernel for the sampling hot path.
+
+The SD UNet's self-attention runs over <= 4096 latent tokens with head dims
+40-160 (SURVEY.md §5: the one sequence-scaling lever worth adding). XLA's
+default lowering materializes the (T, T) logits in HBM between the two
+matmuls; this kernel keeps each query block's logits, softmax, and weighted
+sum entirely in VMEM — one HBM read of q/k/v and one write of the output.
+
+Shape regime: per grid step the kernel holds one (block_q, D) query tile
+plus the full (T, D) key/value panels and a (block_q, T) logits tile in
+VMEM — ~7 MB at T=4096, D=160, comfortably under the ~16 MB budget, with
+numerically exact (single-pass, full-row) softmax. For longer sequences use
+the XLA fallback (`attention_xla`); a streamed flash variant is not needed
+for this model family's shapes.
+
+Differentiable: the backward recomputes through the XLA composition (the
+solver's sampling path never differentiates attention; training does, at
+standard XLA speed).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_Q = 128
+
+
+def attention_xla(q, k, v, *, scale: Optional[float] = None):
+    """Reference math: softmax(q k^T * scale) v over (BH, T, D) panels."""
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bqk,bkd->bqd", p, v)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_real: int):
+    q = q_ref[0]
+    k = k_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    t_pad = k.shape[0]
+    if t_pad != t_real:  # mask zero-padded keys out of the softmax
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(key_ids < t_real, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _forward(q, k, v, scale, block_q, interpret):
+    bh, t, d = q.shape
+    s = k.shape[1]
+    t_pad = -t % block_q
+    s_pad = -s % block_q
+    if t_pad:
+        q = jnp.pad(q, ((0, 0), (0, t_pad), (0, 0)))
+    if s_pad:
+        k = jnp.pad(k, ((0, 0), (0, s_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, s_pad), (0, 0)))
+    tq, ts = t + t_pad, s + s_pad
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, t_real=s),
+        grid=(bh, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :t]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_attention(q, k, v, scale: Optional[float] = None,
+                    block_q: int = _BLOCK_Q, interpret: bool = False):
+    """softmax(q k^T * scale) v with VMEM-resident logits.
+
+    q: (BH, T, D); k, v: (BH, S, D). scale defaults to D^-1/2.
+    """
+    d = q.shape[-1]
+    eff = (d ** -0.5) if scale is None else scale
+    return _forward(q, k, v, eff, block_q, interpret)
+
+
+def _fwd(q, k, v, scale, block_q, interpret):
+    return fused_attention(q, k, v, scale, block_q, interpret), (q, k, v)
+
+
+def _bwd(scale, block_q, interpret, res, g):
+    q, k, v = res
+    f = lambda q_, k_, v_: attention_xla(q_, k_, v_, scale=scale)
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fwd, _bwd)
+
+
+def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
+                    use_pallas: Optional[bool] = None, interpret: bool = False):
+    """Head-major convenience wrapper: q (B, T, H*Dh), k/v (B, S, H*Dh) ->
+    (B, T, H*Dh). `use_pallas=None` auto-selects the kernel on TPU backends
+    when the VMEM regime fits (S*Dh panels), else the XLA composition."""
+    b, t, inner = q.shape
+    s = k.shape[1]
+    dh = inner // num_heads
+
+    def split(u, length):
+        return (u.reshape(b, length, num_heads, dh)
+                .transpose(0, 2, 1, 3).reshape(b * num_heads, length, dh))
+
+    qh, kh, vh = split(q, t), split(k, s), split(v, s)
+    if use_pallas is None:
+        fits = (s + (-s % _BLOCK_Q)) * max(dh, 128) * 4 * 2 < 8_000_000
+        # measured on v5e (bf16, T=4096): 1.6x faster at dh=40, ~15% slower
+        # at dh >= 64 where XLA's fusion already saturates HBM
+        use_pallas = (jax.default_backend() == "tpu" and fits and dh < 64)
+    if use_pallas or interpret:
+        out = fused_attention(qh, kh, vh, scale, _BLOCK_Q, interpret)
+    else:
+        out = attention_xla(qh, kh, vh, scale=scale)
+    return (out.reshape(b, num_heads, t, dh)
+            .transpose(0, 2, 1, 3).reshape(b, t, inner))

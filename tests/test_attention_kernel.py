@@ -1,0 +1,49 @@
+"""Pallas attention kernel parity (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dpm_solver_tpu.ops.attention import (
+    attention_xla,
+    fused_attention,
+    token_attention,
+)
+
+
+@pytest.mark.parametrize("shape", [(4, 100, 100, 40), (2, 128, 128, 64),
+                                   (3, 130, 77, 160), (1, 257, 64, 32)])
+def test_fused_attention_matches_xla(shape):
+    bh, t, s, d = shape
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(bh, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    want = attention_xla(q, k, v)
+    got = fused_attention(q, k, v, None, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-6)
+
+
+def test_token_attention_heads_and_grad():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(2, 64, 80).astype(np.float32))
+    ctx = jnp.asarray(rng.randn(2, 77, 80).astype(np.float32))
+    o1 = token_attention(q, ctx, ctx, num_heads=4, interpret=True)
+    o2 = token_attention(q, ctx, ctx, num_heads=4, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-6)
+
+    g1 = jax.grad(lambda u: (fused_attention(u, ctx, ctx, None, 128, True)
+                             ** 2).sum())(q)
+    g2 = jax.grad(lambda u: (attention_xla(u, ctx, ctx) ** 2).sum())(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_custom_scale():
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(2, 32, 16).astype(np.float32))
+    got = fused_attention(q, q, q, 0.5, 128, True)
+    want = attention_xla(q, q, q, scale=0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-6)
