@@ -7,6 +7,8 @@ from dpm_solver_tpu.models.adm_unet import (
 from dpm_solver_tpu.models.ddpm_unet import DDPMUNet, DDPMUNetConfig
 from dpm_solver_tpu.models.ncsnpp import NCSNpp, NCSNppConfig
 from dpm_solver_tpu.models.ncsnpp_convert import params_from_reference
+from dpm_solver_tpu.models.ncsnv2 import NCSNv2, NCSNv2Config
+from dpm_solver_tpu.models.wideresnet import WideResNetClassifier
 
 __all__ = [
     "ADMClassifier",
@@ -17,5 +19,8 @@ __all__ = [
     "DDPMUNetConfig",
     "NCSNpp",
     "NCSNppConfig",
+    "NCSNv2",
+    "NCSNv2Config",
+    "WideResNetClassifier",
     "params_from_reference",
 ]
