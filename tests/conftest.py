@@ -25,6 +25,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the suite is dominated by repeated XLA
+# compiles of the same tiny models; cache hits cut re-runs by minutes
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pathlib
 import sys
