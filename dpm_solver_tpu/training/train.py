@@ -112,3 +112,24 @@ def make_train_step(
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
     return step
+
+
+def make_multi_step(step_fn: Callable, n_steps: int) -> Callable:
+    """Fuse `n_steps` train steps into one compiled program via lax.scan —
+    the reference's n_jitted_steps trick (score_sde_jax/run_lib.py:124:
+    pmap(partial(lax.scan, train_step))). Amortizes dispatch overhead and
+    lets XLA overlap the optimizer with the next step's forward.
+
+    Returns multi_step(state, batches, rng) -> (state, metrics) where
+    `batches` has a leading [n_steps] axis and metrics are the per-step
+    scans stacked."""
+
+    def multi_step(state, batches, rng):
+        def body(carry, batch):
+            state = carry
+            state, metrics = step_fn(state, batch, rng)
+            return state, metrics
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
