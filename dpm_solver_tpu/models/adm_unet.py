@@ -61,6 +61,7 @@ class ADMConfig:
     use_spatial_transformer: bool = False
     transformer_depth: int = 1
     context_dim: Optional[int] = None
+    use_linear_in_transformer: bool = False  # SD-2.x variant
     legacy: bool = True
     # EncoderUNetModel only:
     pool: str = "adaptive"  # adaptive | attention | spatial | spatial_v2
@@ -86,6 +87,19 @@ class ADMConfig:
             channel_mult=(1, 2, 4, 4), num_heads=8,
             use_spatial_transformer=True, transformer_depth=1,
             context_dim=768,
+        )
+
+    @staticmethod
+    def sd_v2_1() -> "ADMConfig":
+        """Stable Diffusion 2.1 UNet (the BASELINE throughput target):
+        1024-d OpenCLIP context, 64-ch attention heads, linear transformer
+        projections, v-prediction (handled by model_wrapper model_type='v')."""
+        return ADMConfig(
+            image_size=96, in_channels=4, model_channels=320, out_channels=4,
+            num_res_blocks=2, attention_resolutions=(1, 2, 4),
+            channel_mult=(1, 2, 4, 4), num_heads=-1, num_head_channels=64,
+            use_spatial_transformer=True, transformer_depth=1,
+            context_dim=1024, use_linear_in_transformer=True, legacy=False,
         )
 
     @staticmethod
@@ -240,7 +254,8 @@ class _HeadPlanner:
                         else cfg.num_head_channels)
         if cfg.use_spatial_transformer:
             return dict(kind="xattn", heads=self.num_heads, dim_head=dim_head,
-                        depth=cfg.transformer_depth)
+                        depth=cfg.transformer_depth,
+                        linear=cfg.use_linear_in_transformer)
         site_heads = self.heads_up if upsample else self.num_heads
         eff = ch // dim_head if dim_head != -1 else site_heads
         return dict(kind="attn", heads=eff)
@@ -409,7 +424,8 @@ class _ADMBase(nn.Module):
 
             return SpatialTransformer(
                 heads=spec["heads"], dim_head=spec["dim_head"],
-                depth=spec["depth"], dtype=dt, name=name)(h, context=context)
+                depth=spec["depth"], linear_proj=spec.get("linear", False),
+                dtype=dt, name=name)(h, context=context)
         if kind == "resample":
             return ADMResample(direction=spec["direction"],
                                out_ch=spec["out_ch"],

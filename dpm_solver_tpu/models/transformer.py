@@ -94,12 +94,17 @@ class TransformerBlock(nn.Module):
 
 
 class SpatialTransformer(nn.Module):
-    """GroupNorm -> 1x1 proj -> transformer over HW tokens -> 1x1 zero-init
-    proj, residual (attention.py:218-261). NHWC in/out."""
+    """GroupNorm -> 1x1 proj -> transformer over HW tokens -> zero-init out
+    proj, residual (attention.py:218-261). NHWC in/out.
+
+    `linear_proj` uses token-space Linear projections instead of 1x1 convs —
+    the SD-2.x `use_linear_in_transformer` variant (math-identical; the
+    checkpoint weight ranks differ)."""
 
     heads: int
     dim_head: int
     depth: int = 1
+    linear_proj: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -108,12 +113,21 @@ class SpatialTransformer(nn.Module):
         inner = self.heads * self.dim_head
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
                          name="norm")(x.astype(jnp.float32)).astype(x.dtype)
-        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h)
-        h = h.reshape(b, hh * ww, inner)
+        if self.linear_proj:
+            h = h.reshape(b, hh * ww, c)
+            h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        else:
+            h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h)
+            h = h.reshape(b, hh * ww, inner)
         for d in range(self.depth):
             h = TransformerBlock(self.heads, self.dim_head, dtype=self.dtype,
                                  name=f"block_{d}")(h, context=context)
-        h = h.reshape(b, hh, ww, inner)
-        h = nn.Conv(c, (1, 1), kernel_init=jax.nn.initializers.zeros,
-                    dtype=self.dtype, name="proj_out")(h)
+        if self.linear_proj:
+            h = nn.Dense(c, kernel_init=jax.nn.initializers.zeros,
+                         dtype=self.dtype, name="proj_out")(h)
+            h = h.reshape(b, hh, ww, c)
+        else:
+            h = h.reshape(b, hh, ww, inner)
+            h = nn.Conv(c, (1, 1), kernel_init=jax.nn.initializers.zeros,
+                        dtype=self.dtype, name="proj_out")(h)
         return x + h

@@ -57,6 +57,7 @@ class LatentDiffusion:
     text_encode: Optional[Callable] = None
     betas: np.ndarray = dataclasses.field(default_factory=make_ldm_betas)
     scale_factor: float = 0.18215
+    parameterization: str = "eps"  # eps | v (SD-2.1 is v-prediction)
 
     @property
     def alphas_cumprod(self) -> np.ndarray:
@@ -94,10 +95,11 @@ class DPMSolverSampler:
             "discrete", alphas_cumprod=model.alphas_cumprod)
 
     def _model_fn(self, conditioning, unconditional_conditioning, scale):
+        model_type = {"eps": "noise", "v": "v"}[self.model.parameterization]
         return model_wrapper(
             lambda x, t, c: self.model.apply_model(x, t, c),
             self.noise_schedule,
-            model_type="noise",
+            model_type=model_type,
             guidance_type="classifier-free",
             condition=conditioning,
             unconditional_condition=unconditional_conditioning,

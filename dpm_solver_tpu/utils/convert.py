@@ -178,10 +178,17 @@ def convert_adm_unet(state_dict, config, classifier: bool = False) -> dict:
                 "proj_out": _t_conv1d(sd, src + ".proj_out"),
             }
         elif kind == "xattn":
+            # SD-2.x 'linear' transformers store proj_in/out as Linear
+            # (rank-2) instead of 1x1 Conv2d (rank-4)
+            def proj(leafsrc):
+                return (_t_dense(sd, leafsrc)
+                        if np.asarray(sd[leafsrc + ".weight"]).ndim == 2
+                        else _t_conv2d(sd, leafsrc))
+
             blk = {
                 "norm": _t_affine(sd, src + ".norm"),
-                "proj_in": _t_conv2d(sd, src + ".proj_in"),
-                "proj_out": _t_conv2d(sd, src + ".proj_out"),
+                "proj_in": proj(src + ".proj_in"),
+                "proj_out": proj(src + ".proj_out"),
             }
             for d in range(spec["depth"]):
                 t = f"{src}.transformer_blocks.{d}"

@@ -126,3 +126,39 @@ def test_sd_unet_self_attention_without_context(ref_openaimodel):
         jnp.asarray(t), None, jnp.asarray(ctx), deterministic=True)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                rtol=0, atol=3e-5)
+
+
+def test_linear_transformer_variant_matches_conv():
+    """SD-2.x use_linear_in_transformer is math-identical to the 1x1-conv
+    form; mapping the weights across must give the same output."""
+    import jax
+
+    cfg_conv = _tiny_sd_cfg(num_head_channels=16, num_heads=-1, legacy=False)
+    cfg_lin = dataclasses_replace(cfg_conv, use_linear_in_transformer=True)
+
+    m_conv = ADMUNet(config=cfg_conv)
+    m_lin = ADMUNet(config=cfg_lin)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    t = jnp.asarray([5.0])
+    ctx = jnp.asarray(rng.randn(1, 7, 24).astype(np.float32))
+    p_conv = m_conv.init(jax.random.PRNGKey(0), x, t, None, ctx,
+                         deterministic=True)
+
+    def conv_to_lin(path, leaf):
+        keys = [getattr(k, "key", str(k)) for k in path]
+        if "proj_in" in keys or "proj_out" in keys:
+            if keys[-1] == "kernel" and np.ndim(leaf) == 4:
+                return leaf[0, 0]  # (1,1,I,O) -> (I,O)
+        return leaf
+
+    p_lin = jax.tree_util.tree_map_with_path(conv_to_lin, p_conv)
+    want = m_conv.apply(p_conv, x, t, None, ctx, deterministic=True)
+    got = m_lin.apply(p_lin, x, t, None, ctx, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
