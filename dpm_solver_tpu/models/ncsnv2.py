@@ -42,10 +42,29 @@ class NCSNv2Config:
     num_scales: int = 232
     interpolation: str = "bilinear"
     conditional_norm: bool = False  # True -> NCSNv1
+    # pyramid: per level (channel mult, dilation); level 0 is never
+    # downsampled. Defaults are the 32px NCSNv2 (ref ncsnv2.py:45-113);
+    # the 128/256px variants just deepen these (ref :202-356).
+    level_specs: Tuple[Tuple[int, int], ...] = ((1, 1), (2, 1), (2, 2), (2, 4))
+    refine_mults: Tuple[int, ...] = (2, 2, 2, 1)
 
     @staticmethod
     def cifar10() -> "NCSNv2Config":
         return NCSNv2Config()
+
+    @staticmethod
+    def px128() -> "NCSNv2Config":
+        return NCSNv2Config(
+            image_size=128,
+            level_specs=((1, 1), (2, 1), (2, 1), (4, 2), (4, 4)),
+            refine_mults=(4, 2, 2, 1, 1))
+
+    @staticmethod
+    def px256() -> "NCSNv2Config":
+        return NCSNv2Config(
+            image_size=256,
+            level_specs=((1, 1), (2, 1), (2, 1), (2, 1), (4, 2), (4, 4)),
+            refine_mults=(4, 2, 2, 2, 1, 1))
 
     @staticmethod
     def tiny(**overrides) -> "NCSNv2Config":
@@ -311,21 +330,29 @@ class NCSNv2(nn.Module):
         h = x if cfg.centered else 2.0 * x - 1.0
         nf = cfg.nf
         h = ncsn_conv(h, nf, name="conv_in")
-        h = rb(nf, name="res1a")(h, y)
-        layer1 = rb(nf, name="res1b")(h, y)
-        h = rb(2 * nf, resample="down", name="down1")(layer1, y)
-        layer2 = rb(2 * nf, name="res2")(h, y)
-        h = rb(2 * nf, resample="down", dilation=2, name="down2")(layer2, y)
-        layer3 = rb(2 * nf, dilation=2, name="res3")(h, y)
-        h = rb(2 * nf, resample="down", dilation=4, name="down3")(layer3, y)
-        layer4 = rb(2 * nf, dilation=4, name="res4")(h, y)
+        # backbone pyramid: level 0 = two plain blocks; each deeper level =
+        # one down block + one plain block (the 32/128/256px variants differ
+        # only in these specs)
+        layers = []
+        for i, (mult, dil) in enumerate(cfg.level_specs):
+            if i == 0:
+                h = rb(mult * nf, name="level0_pre")(h, y)
+            else:
+                h = rb(mult * nf, resample="down", dilation=dil,
+                       name=f"level{i}_down")(layers[-1], y)
+            h = rb(mult * nf, dilation=dil, name=f"level{i}_res")(h, y)
+            layers.append(h)
 
-        r1 = ref(layer4.shape[1:3], 2 * nf, 1, start=True,
-                 name="refine1")([layer4], y)
-        r2 = ref(layer3.shape[1:3], 2 * nf, 2, name="refine2")([layer3, r1], y)
-        r3 = ref(layer2.shape[1:3], 2 * nf, 2, name="refine3")([layer2, r2], y)
-        r4 = ref(layer1.shape[1:3], nf, 2, end=True,
-                 name="refine4")([layer1, r3], y)
+        # RefineNet decoder, deepest level first
+        r = None
+        n_levels = len(cfg.level_specs)
+        for j, mult in enumerate(cfg.refine_mults):
+            i = n_levels - 1 - j
+            inputs = [layers[i]] if r is None else [layers[i], r]
+            r = ref(layers[i].shape[1:3], mult * nf, len(inputs),
+                    start=(j == 0), end=(j == n_levels - 1),
+                    name=f"refine{j}")(inputs, y)
+        r4 = r
 
         if cfg.conditional_norm:
             h = make_norm(name="norm_out")(r4, y)
@@ -384,29 +411,28 @@ def ncsnv2_params_from_reference(ref_params, cfg: NCSNv2Config) -> dict:
                              (3 if end else 1) * 2)
         return out
 
-    p = {
-        "conv_in": dict(ref["Conv_0"]),
-        "res1a": resblock(ref["ResidualBlock_0"], resample=None, dilation=1,
-                          has_shortcut="Conv_2" in ref["ResidualBlock_0"]),
-        "res1b": resblock(ref["ResidualBlock_1"], resample=None, dilation=1,
-                          has_shortcut=False),
-        "down1": resblock(ref["ResidualBlock_2"], resample="down", dilation=1,
-                          has_shortcut=True),
-        "res2": resblock(ref["ResidualBlock_3"], resample=None, dilation=1,
-                         has_shortcut=False),
-        "down2": resblock(ref["ResidualBlock_4"], resample="down", dilation=2,
-                          has_shortcut=True),
-        "res3": resblock(ref["ResidualBlock_5"], resample=None, dilation=2,
-                         has_shortcut=False),
-        "down3": resblock(ref["ResidualBlock_6"], resample="down", dilation=4,
-                          has_shortcut=True),
-        "res4": resblock(ref["ResidualBlock_7"], resample=None, dilation=4,
-                         has_shortcut=False),
-        "refine1": refine(ref["RefineBlock_0"], 1, end=False),
-        "refine2": refine(ref["RefineBlock_1"], 2, end=False),
-        "refine3": refine(ref["RefineBlock_2"], 2, end=False),
-        "refine4": refine(ref["RefineBlock_3"], 2, end=True),
-        "norm_out": dict(ref["InstanceNorm2dPlus_0"]),
-        "conv_out": dict(ref["Conv_1"]),
-    }
+    p = {"conv_in": dict(ref["Conv_0"])}
+    rb_i = 0
+    for i, (mult, dil) in enumerate(cfg.level_specs):
+        if i == 0:
+            p["level0_pre"] = resblock(
+                ref[f"ResidualBlock_{rb_i}"], resample=None, dilation=1,
+                has_shortcut="Conv_2" in ref[f"ResidualBlock_{rb_i}"])
+        else:
+            p[f"level{i}_down"] = resblock(
+                ref[f"ResidualBlock_{rb_i}"], resample="down", dilation=dil,
+                has_shortcut=True)
+        rb_i += 1
+        p[f"level{i}_res"] = resblock(
+            ref[f"ResidualBlock_{rb_i}"], resample=None, dilation=dil,
+            has_shortcut=False)
+        rb_i += 1
+
+    n_levels = len(cfg.level_specs)
+    for j in range(len(cfg.refine_mults)):
+        p[f"refine{j}"] = refine(ref[f"RefineBlock_{j}"],
+                                 1 if j == 0 else 2,
+                                 end=(j == n_levels - 1))
+    p["norm_out"] = dict(ref["InstanceNorm2dPlus_0"])
+    p["conv_out"] = dict(ref["Conv_1"])
     return {"params": p}

@@ -87,13 +87,18 @@ def execute_plan(
 ):
     """Run a planned trajectory. Pure function of (x, rng); jit/pjit-safe.
 
-    `use_pallas=None` auto-enables the fused Pallas update kernel on TPU
-    backends (it has no CPU compile path outside interpret mode).
+    `use_pallas` opts into the fused Pallas update kernel (TPU only; no CPU
+    compile path outside interpret mode). Default is the plain jnp
+    expression: measured on v5e (CIFAR UNet, 10 NFE, batch 64) XLA's own
+    fusion of the multiply-add chain is ~3% faster end-to-end than the
+    kernel — the pad/reshape around the kernel costs more than it saves at
+    these operand sizes. The kernel remains the guaranteed-single-pass form
+    for surrounding programs where XLA declines to fuse.
     """
     if plan.has_noise and rng is None:
         raise ValueError("SDE plan requires an rng key")
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False
     eval_fn = _make_eval_fn(model_fn, predict_x0, correcting_x0_fn)
     intermediates: List[jax.Array] = []
     hist = jnp.zeros((3,) + x.shape, x.dtype)

@@ -152,3 +152,26 @@ def test_sigma_ladder():
     assert np.all(np.diff(s) < 0)
     ratios = s[:-1] / s[1:]
     np.testing.assert_allclose(ratios, ratios[0], rtol=1e-5)  # geometric
+
+
+@requires_reference
+def test_ncsnv2_128_variant_matches_reference(ref_ncsnv2):
+    """The deeper 128px pyramid (extra level, 4x channel mults) against the
+    reference NCSNv2_128 class."""
+    cfg = NCSNv2Config.tiny(
+        image_size=32,
+        level_specs=((1, 1), (2, 1), (2, 1), (4, 2), (4, 4)),
+        refine_mults=(4, 2, 2, 1, 1))
+    ref_model = ref_ncsnv2.ncsnv2.NCSNv2_128(config=_ref_config(cfg))
+    x = jax.nn.sigmoid(jax.random.normal(jax.random.PRNGKey(8),
+                                         (2, 32, 32, 3)))
+    labels = jnp.asarray([1, 4])
+    ref_params = ref_model.init(jax.random.PRNGKey(9), x, labels, train=False)
+    mine = ncsnv2_params_from_reference(ref_params, cfg)
+    n_ref = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(ref_params))
+    n_mine = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(mine))
+    assert n_ref == n_mine
+    want = ref_model.apply(ref_params, x, labels, train=False)
+    got = NCSNv2(config=cfg).apply(mine, x, labels)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
+                               atol=2e-4)
