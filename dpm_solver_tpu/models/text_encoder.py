@@ -63,3 +63,26 @@ def constant_context_encoder(context_dim: int, max_length: int = 77,
         return jnp.asarray(np.stack(rows))
 
     return encode
+
+
+class ClassEmbedder:
+    """Class-label conditioner for class-conditional LDMs (ref
+    ldm/modules/encoders/modules.py ClassEmbedder used by the cin256
+    configs + scripts/sample_diffusion.py): labels -> (B, 1, embed_dim)
+    cross-attention context."""
+
+    def __init__(self, num_classes: int, embed_dim: int, seed: int = 0,
+                 embedding=None):
+        import flax.linen as nn
+        import jax
+
+        self._module = nn.Embed(num_classes, embed_dim)
+        if embedding is not None:
+            self.params = {"params": {"embedding": np.asarray(embedding)}}
+        else:
+            self.params = self._module.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1,), jnp.int32))
+
+    def __call__(self, labels):
+        labels = jnp.asarray(labels, jnp.int32)
+        return self._module.apply(self.params, labels)[:, None, :]

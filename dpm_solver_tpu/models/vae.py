@@ -326,3 +326,83 @@ def convert_autoencoder_kl(state_dict, config: VAEConfig) -> dict:
         "post_quant_conv": conv("post_quant_conv"),
     }
     return {"params": params}
+
+
+class VectorQuantizer(nn.Module):
+    """Nearest-codebook quantizer with straight-through gradients (the
+    taming-transformers VectorQuantizer2 the reference VQModel imports,
+    autoencoder.py:6,39-41; taming itself is not vendored in the reference).
+    z NHWC with channels == embed_dim."""
+
+    n_embed: int
+    embed_dim: int
+    beta: float = 0.25
+
+    @nn.compact
+    def __call__(self, z):
+        codebook = self.param(
+            "embedding",
+            lambda key, shape: jax.random.uniform(
+                key, shape, minval=-1.0 / self.n_embed,
+                maxval=1.0 / self.n_embed),
+            (self.n_embed, self.embed_dim))
+        flat = z.reshape(-1, self.embed_dim)
+        d = (jnp.sum(flat ** 2, axis=1, keepdims=True)
+             - 2.0 * flat @ codebook.T
+             + jnp.sum(codebook ** 2, axis=1)[None, :])
+        idx = jnp.argmin(d, axis=1)
+        z_q = codebook[idx].reshape(z.shape)
+        loss = (jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2)
+                + self.beta * jnp.mean((z_q - jax.lax.stop_gradient(z)) ** 2))
+        z_q = z + jax.lax.stop_gradient(z_q - z)  # straight-through
+        return z_q, loss, idx.reshape(z.shape[:-1])
+
+
+class VQModel(nn.Module):
+    """VQ first stage (autoencoder.py:14-282, VQModelInterface convention:
+    `encode` returns the PRE-quant latent; `decode` quantizes unless
+    force_not_quantize). Used by the class-conditional ImageNet LDMs."""
+
+    config: VAEConfig
+    n_embed: int = 16384
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        assert not cfg.double_z, "VQ first stage uses double_z=False"
+        self.encoder = VAEEncoder(cfg, self.dtype, name="encoder")
+        self.decoder = VAEDecoder(cfg, self.dtype, name="decoder")
+        self.quantize = VectorQuantizer(self.n_embed, cfg.embed_dim,
+                                        name="quantize")
+        self.quant_conv = nn.Conv(cfg.embed_dim, (1, 1), dtype=self.dtype,
+                                  name="quant_conv")
+        self.post_quant_conv = nn.Conv(cfg.z_channels, (1, 1),
+                                       dtype=self.dtype,
+                                       name="post_quant_conv")
+
+    def encode(self, x, *, deterministic=True):
+        return self.quant_conv(self.encoder(x, deterministic=deterministic))
+
+    def decode(self, h, *, force_not_quantize=False, deterministic=True):
+        if not force_not_quantize:
+            h, _, _ = self.quantize(h)
+        return self.decoder(self.post_quant_conv(h),
+                            deterministic=deterministic)
+
+    def __call__(self, x, *, deterministic=True):
+        h = self.encode(x, deterministic=deterministic)
+        z_q, loss, idx = self.quantize(h)
+        rec = self.decoder(self.post_quant_conv(z_q),
+                           deterministic=deterministic)
+        return rec, loss, idx
+
+
+def convert_vq_model(state_dict, config: VAEConfig) -> dict:
+    """LDM VQModel torch state dict -> our params (accepts
+    `first_stage_model.`-prefixed full checkpoints)."""
+    base = convert_autoencoder_kl(state_dict, config)
+    sd = {k[len("first_stage_model."):] if k.startswith("first_stage_model.")
+          else k: np.asarray(v) for k, v in state_dict.items()}
+    params = base["params"]
+    params["quantize"] = {"embedding": sd["quantize.embedding.weight"]}
+    return {"params": params}

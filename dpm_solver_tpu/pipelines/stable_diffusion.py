@@ -255,3 +255,36 @@ def load_sd_checkpoint(path_or_state_dict, *,
         unet=ADMUNet(config=unet_config), unet_params=unet_params,
         vae=AutoencoderKL(config=vae_config), vae_params=vae_params,
         text_encode=text_encode)
+
+
+def class_conditional_sample(model: LatentDiffusion, class_embedder, labels,
+                             *, steps: int = 20, guidance_scale: float = 1.0,
+                             uncond_label: Optional[int] = None,
+                             latent_hw: Optional[Tuple[int, int]] = None,
+                             rng=None, order: int = 2):
+    """Class-conditional LDM sampling (ref scripts/sample_diffusion.py +
+    the cin256 ClassEmbedder conditioning): labels -> embedded context ->
+    CFG DPM-Solver++ -> first-stage decode. Works with either the KL or the
+    VQ first stage (LatentDiffusion.decode_first_stage)."""
+    import numpy as _np
+
+    labels = jnp.asarray(labels, jnp.int32)
+    b = labels.shape[0]
+    sampler = DPMSolverSampler(model)
+    cond = class_embedder(labels)
+    uncond = None
+    if guidance_scale != 1.0:
+        if uncond_label is None:
+            raise ValueError("CFG needs an uncond_label (the embedder's "
+                             "'unconditional' class id)")
+        uncond = class_embedder(jnp.full((b,), uncond_label, jnp.int32))
+    f = 2 ** (len(model.vae.config.ch_mult) - 1)
+    hw = latent_hw or (model.vae.config.resolution // f,
+                       model.vae.config.resolution // f)
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    latents, _ = sampler.sample(
+        steps, b, (hw[0], hw[1], model.vae.config.z_channels), cond,
+        unconditional_guidance_scale=guidance_scale,
+        unconditional_conditioning=uncond, rng=rng, order=order)
+    img = model.decode_first_stage(latents)
+    return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)

@@ -110,3 +110,48 @@ def test_diagonal_gaussian_stats_match_torch():
     np.testing.assert_allclose(
         np.asarray(mine.mode()).transpose(0, 3, 1, 2), tref.mode().numpy(),
         rtol=0, atol=0)
+
+
+def test_vector_quantizer_properties():
+    import jax
+
+    from dpm_solver_tpu.models.vae import VectorQuantizer
+
+    vq = VectorQuantizer(n_embed=16, embed_dim=4)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 3, 4))
+    params = vq.init(jax.random.PRNGKey(1), z)
+    z_q, loss, idx = vq.apply(params, z)
+    codebook = np.asarray(params["params"]["embedding"])
+    # every quantized vector is exactly a codebook row
+    flat = np.asarray(z_q).reshape(-1, 4)
+    ids = np.asarray(idx).reshape(-1)
+    np.testing.assert_allclose(flat, codebook[ids], atol=1e-6)
+    assert float(loss) > 0
+    # straight-through: d z_q / d z == identity
+    g = jax.grad(lambda zz: vq.apply(params, zz)[0].sum())(z)
+    np.testing.assert_allclose(np.asarray(g), 1.0, atol=1e-6)
+    # quantizing a codebook row is a fixed point
+    z_fix = jnp.broadcast_to(jnp.asarray(codebook[3]), (1, 1, 1, 4))
+    zq2, _, idx2 = vq.apply(params, z_fix)
+    assert int(np.asarray(idx2).ravel()[0]) == 3
+    np.testing.assert_allclose(np.asarray(zq2), np.asarray(z_fix), atol=1e-6)
+
+
+def test_vq_model_roundtrip_and_interface():
+    import jax
+
+    from dpm_solver_tpu.models.vae import VQModel
+
+    cfg = VAEConfig.tiny(resolution=16, attn_resolutions=(), double_z=False,
+                         z_channels=4, embed_dim=4)
+    model = VQModel(config=cfg, n_embed=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    rec, loss, idx = model.apply(params, x)
+    assert rec.shape == x.shape and np.isfinite(np.asarray(rec)).all()
+    # VQModelInterface: encode gives PRE-quant h; decode quantizes by default
+    h = model.apply(params, x, method=VQModel.encode)
+    d1 = model.apply(params, h, method=VQModel.decode)
+    d2 = model.apply(params, h, method=VQModel.decode, force_not_quantize=True)
+    assert np.isfinite(np.asarray(d1)).all()
+    assert float(np.abs(np.asarray(d1) - np.asarray(d2)).max()) > 0
