@@ -38,18 +38,46 @@ def _save_images(arr: np.ndarray, outdir: str, prefix: str = "sample"):
             os.path.join(outdir, f"{prefix}_{i:05d}.png"))
 
 
-def _build_sampler_from_config(config, params, model):
+def _build_sampler_from_config(config, params, model, *, labels=None,
+                               classifier=None, classifier_params=None):
+    """Mirror of the reference runner's solver assembly
+    (runners/diffusion.py:594-639): class-conditional nets get random labels
+    and an optional classifier-guidance term; learned-sigma nets (out=2*in)
+    use only the mean split (:600-603)."""
+    import jax
     import jax.numpy as jnp
 
     from dpm_solver_tpu import DPM_Solver, NoiseScheduleVP, model_wrapper
 
     scfg = config.sampling
+    d = config.data
     ns = NoiseScheduleVP.discrete(betas=np.linspace(1e-4, 0.02, 1000))
-    model_fn = model_wrapper(
-        lambda x, t: model.apply(params, x, t)
-        if config.model_family == "ddpm_unet"
-        else model.apply(params, x, t, deterministic=True),
-        ns, model_type="noise")
+
+    mc = config.model_config
+    split_mean = getattr(mc, "out_channels", d.channels) == 2 * d.channels
+
+    def raw(x, t):
+        if config.model_family == "ddpm_unet":
+            out = model.apply(params, x, t)
+        elif labels is not None:
+            out = model.apply(params, x, t, labels, deterministic=True)
+        else:
+            out = model.apply(params, x, t, deterministic=True)
+        return out[..., : d.channels] if split_mean else out
+
+    if classifier is not None and scfg.classifier_scale > 0:
+        def log_prob(x, t, y):
+            logits = classifier.apply(classifier_params, x, t,
+                                      deterministic=True)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return logp[jnp.arange(x.shape[0]), y]
+
+        model_fn = model_wrapper(
+            raw, ns, model_type="noise", guidance_type="classifier",
+            condition=labels, guidance_scale=scfg.classifier_scale,
+            classifier_fn=lambda x, t, y: log_prob(x, t, y))
+    else:
+        model_fn = model_wrapper(raw, ns, model_type="noise")
     solver = DPM_Solver(
         model_fn, ns, algorithm_type=scfg.algorithm_type,
         correcting_x0_fn="dynamic_thresholding" if scfg.thresholding else None)
@@ -83,8 +111,27 @@ def cmd_sample(args):
         logging.warning("no --ckpt given; sampling from RANDOM weights")
         params = init_fn(jax.random.PRNGKey(config.seed))
 
-    solver, _ = _build_sampler_from_config(config, params, model)
     d = config.data
+    labels = None
+    if getattr(config.model_config, "num_classes", None):
+        labels = jax.random.randint(
+            jax.random.PRNGKey(args.seed + 1), (args.batch,), 0,
+            config.model_config.num_classes)
+    classifier = classifier_params = None
+    if args.classifier_ckpt and config.classifier_config is not None:
+        from dpm_solver_tpu.models import ADMClassifier
+        from dpm_solver_tpu.utils.convert import (
+            convert_adm_unet,
+            load_torch_state_dict,
+        )
+
+        classifier = ADMClassifier(config=config.classifier_config)
+        classifier_params = convert_adm_unet(
+            load_torch_state_dict(args.classifier_ckpt),
+            config.classifier_config, classifier=True)
+    solver, _ = _build_sampler_from_config(
+        config, params, model, labels=labels, classifier=classifier,
+        classifier_params=classifier_params)
     x_T = jax.random.normal(
         jax.random.PRNGKey(args.seed),
         (args.batch, d.image_size, d.image_size, d.channels))
@@ -180,6 +227,8 @@ def main(argv=None):
     sp = sub.add_parser("sample", help="DPM-Solver sampling from a config")
     sp.add_argument("--config", required=True)
     sp.add_argument("--ckpt", default=None, help="torch checkpoint to convert")
+    sp.add_argument("--classifier-ckpt", default=None,
+                    help="torch classifier checkpoint for guided configs")
     sp.add_argument("--batch", type=int, default=16)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--outdir", default="./samples")

@@ -186,3 +186,32 @@ def test_cli_configs_listing(capsys):
     cli.main(["configs"])
     out = capsys.readouterr().out
     assert "cifar10_ddpm" in out and "sd_v1" in out
+
+
+def test_cli_sample_guided_class_conditional(tmp_path, capsys):
+    """imagenet256_guided-shaped path: class-conditional model with learned
+    sigma (out=2*in, mean split) + dynamic thresholding through the CLI."""
+    from dpm_solver_tpu import cli
+    from dpm_solver_tpu.models import ADMConfig
+
+    @register_config("tiny_guided_test")
+    def _tg():
+        return Config(
+            name="tiny_guided_test", model_family="adm",
+            model_config=ADMConfig.tiny(num_classes=10, out_channels=6,
+                                        use_scale_shift_norm=True),
+            classifier_config=ADMConfig.tiny(out_channels=10,
+                                             num_head_channels=16,
+                                             pool="attention"),
+            data=DataConfig(dataset="synthetic", image_size=16),
+            sampling=SamplingConfig(order=2, steps=4, method="multistep",
+                                    skip_type="time_uniform",
+                                    thresholding=True, classifier_scale=2.5),
+            workdir=str(tmp_path))
+
+    cli.main(["sample", "--config", "tiny_guided_test", "--batch", "2",
+              "--outdir", str(tmp_path / "out")])
+    assert "wrote 2 samples" in capsys.readouterr().out
+    data = np.load(tmp_path / "out" / "sample.npz")["samples"]
+    assert data.shape == (2, 16, 16, 3)
+    assert np.isfinite(data).all()
