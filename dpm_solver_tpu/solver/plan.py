@@ -335,6 +335,15 @@ def _assemble_uniform_plan(ns, t_first, rows, *, denoise_final, t_0, has_noise, 
 
 def _finalize_tail_plan(ns, *, t_first, tail, tail_eval, tail_commit, tail_step,
                         nfe, denoise_final, t_0, dtype):
+    if not tail:
+        # zero segments (e.g. singlestep_fixed with steps < order): the
+        # reference runs an empty loop and returns x unchanged
+        return SamplePlan(
+            t_first=float("nan"), alpha_first=1.0, sigma_first=0.0,
+            scan_rows=None, tail_rows=None, has_noise=False, n_nfe=0,
+            initial_correct_record=False,
+            **_denoise_fields(ns, denoise_final, t_0, -1),
+        )
     return SamplePlan(
         t_first=float("nan") if t_first is None else float(t_first),
         alpha_first=1.0,

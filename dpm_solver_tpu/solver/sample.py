@@ -54,21 +54,22 @@ def _combine(row_a, row_b, row_s, x, hist, z, use_pallas=False):
     return out
 
 
-def _make_eval_fn(model_fn, predict_x0: bool, correcting_x0_fn):
-    """Per-NFE model evaluation in the solver's prediction space.
+def _to_x0(x, eps, t, alpha_t, sigma_t, correcting_x0_fn):
+    """Reference `data_prediction_fn` core (dpm_solver_pytorch.py:433-442)."""
+    x0 = (x - sigma_t * eps) / alpha_t
+    if correcting_x0_fn is not None:
+        x0 = correcting_x0_fn(x0, t)
+    return x0
 
-    For x0-space algorithms this is the reference `data_prediction_fn`
-    (dpm_solver_pytorch.py:433-442): eps -> x0 conversion + optional corrector.
-    """
+
+def _make_eval_fn(model_fn, predict_x0: bool, correcting_x0_fn):
+    """Per-NFE model evaluation in the solver's prediction space."""
 
     def eval_fn(x, t, alpha_t, sigma_t):
         eps = model_fn(x, t)
         if not predict_x0:
             return eps
-        x0 = (x - sigma_t * eps) / alpha_t
-        if correcting_x0_fn is not None:
-            x0 = correcting_x0_fn(x0, t)
-        return x0
+        return _to_x0(x, eps, t, alpha_t, sigma_t, correcting_x0_fn)
 
     return eval_fn
 
@@ -174,11 +175,8 @@ def execute_plan(
         if predict_x0:
             x = eval_fn(x, t_d, plan.alpha_denoise, plan.sigma_denoise)
         else:
-            eps = model_fn(x, t_d)
-            x0 = (x - plan.sigma_denoise * eps) / plan.alpha_denoise
-            if correcting_x0_fn is not None:
-                x0 = correcting_x0_fn(x0, t_d)
-            x = x0
+            x = _to_x0(x, model_fn(x, t_d), t_d, plan.alpha_denoise,
+                       plan.sigma_denoise, correcting_x0_fn)
         if correcting_xt_fn is not None:
             x = correcting_xt_fn(x, t_d, plan.denoise_step_index)
         if return_intermediate:
@@ -369,11 +367,23 @@ class DPM_Solver:
                 correcting_x0_fn=self.correcting_x0_fn,
                 atol=atol, rtol=rtol, solver_type=solver_type, jit=jit,
             )
+            if denoise_to_zero:
+                # the reference applies denoise_to_zero after every method,
+                # adaptive included (dpm_solver_pytorch.py:1235-1241)
+                ns = self.noise_schedule
+                t_d = (1.0 / ns.total_N if ns.schedule == "discrete"
+                       else 1e-3) if t_end is None else t_end
+                x_out = _to_x0(
+                    x_out, self.model_fn_raw(x_out, jnp.asarray(t_d, x.dtype)),
+                    jnp.asarray(t_d, x.dtype),
+                    float(ns.marginal_alpha_np(t_d)),
+                    float(ns.marginal_std_np(t_d)), self.correcting_x0_fn)
             return x_out
 
         key = (
             steps, t_start, t_end, order, skip_type, method, lower_order_final,
-            denoise_to_zero, solver_type, return_intermediate, x.shape, str(x.dtype),
+            denoise_to_zero, solver_type, return_intermediate, x.shape,
+            str(x.dtype), jit,
         )
         fn = self._compiled_cache.get(key)
         if fn is None:
@@ -418,7 +428,10 @@ class DPM_Solver:
         (ref: dpm_solver_pytorch.py:1032-1045)
         """
         ns = self.noise_schedule
-        t_0 = 1.0 / ns.total_N if t_start is None else t_start
+        # same continuous-schedule guard as the plan builders: cosine sets
+        # total_N=1, so the bare 1/total_N default would start beyond T
+        t_0 = ((1.0 / ns.total_N if ns.schedule == "discrete" else 1e-3)
+               if t_start is None else t_start)
         t_T = ns.T if t_end is None else t_end
         return self.sample(
             x, steps=steps, t_start=t_0, t_end=t_T, order=order, skip_type=skip_type,

@@ -256,3 +256,61 @@ def test_exact_grid_formula_parity(reference_torch_module):
     want = solver_t.sample(torch.tensor(x0), steps=10, order=3,
                            skip_type="logSNR", method="multistep").numpy()
     assert_traj_close(got, want, 1e-4)
+
+
+def test_cosine_inverse_default_range():
+    """inverse() on continuous schedules must not default t_0 to 1/total_N
+    (cosine sets total_N=1, which would start beyond T)."""
+    ns = NoiseScheduleVP.cosine()
+    model_fn = lambda x, t: 0.1 * x
+    solver_j = DPM_Solver(model_fn, ns, algorithm_type="dpmsolver++")
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4, 4, 1)),
+                     jnp.float32)
+    out = solver_j.inverse(x0, steps=6, order=2)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(jnp.abs(out).max()) < 1e3  # no 1/alpha blow-up
+
+
+@requires_reference
+def test_adaptive_denoise_to_zero_parity(reference_torch_module):
+    import torch
+
+    solver_j, solver_t = make_pair(reference_torch_module)
+    x0 = np.random.default_rng(3).standard_normal(SHAPE).astype(np.float32)
+    got = np.asarray(solver_j.sample(jnp.asarray(x0), method="adaptive",
+                                     order=2, t_end=1e-3,
+                                     denoise_to_zero=True))
+    with torch.no_grad():
+        want = solver_t.sample(torch.tensor(x0), method="adaptive", order=2,
+                               t_end=1e-3, denoise_to_zero=True).numpy()
+    assert_traj_close(got, want, 5e-3)  # adaptive paths accept independently
+
+
+def test_empty_singlestep_plan_returns_input():
+    """steps < order under singlestep_fixed runs zero segments (reference
+    semantics) instead of crashing at plan-build time."""
+    ns = NoiseScheduleVP.discrete(betas=np.linspace(1e-4, 0.02, 1000))
+    model_fn = lambda x, t: 0.1 * x
+    solver = DPM_Solver(model_fn, ns)
+    x0 = jnp.asarray(np.random.default_rng(1).standard_normal((2, 4, 4, 1)),
+                     jnp.float32)
+    out = solver.sample(x0, steps=2, order=3, method="singlestep_fixed")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x0))
+
+
+def test_compiled_cache_respects_jit_flag():
+    ns = NoiseScheduleVP.linear()
+    calls = []
+
+    def model_fn(x, t):
+        calls.append(1)  # traced once per compile; eager per call
+        return 0.1 * x
+
+    solver = DPM_Solver(model_fn, ns)
+    x0 = jnp.zeros((1, 2, 2, 1))
+    solver.sample(x0, steps=3, order=1, method="multistep", jit=True)
+    n_after_jit = len(calls)
+    solver.sample(x0, steps=3, order=1, method="multistep", jit=False)
+    # the eager variant must NOT reuse the jitted executable: model_fn runs
+    # again per step instead of zero times
+    assert len(calls) > n_after_jit
