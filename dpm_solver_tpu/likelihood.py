@@ -25,10 +25,11 @@ from dpm_solver_tpu.sde import reverse_sde
 
 
 def hutchinson_divergence(fn: Callable, x, t, eps):
-    """eps^T J_fn(x) eps via one jvp; unbiased estimate of div fn
-    (ref likelihood.py:28-36, which uses the vjp form)."""
-    _, jvp = jax.jvp(lambda xi: fn(xi, t), (x,), (eps,))
-    return jnp.sum(jvp * eps, axis=tuple(range(1, x.ndim)))
+    """(fn(x,t), eps^T J_fn(x) eps) via one jvp — the primal is returned so
+    callers pay ONE model eval per stage (ref likelihood.py:28-36 uses a
+    separate vjp graph per eval)."""
+    primal, jvp = jax.jvp(lambda xi: fn(xi, t), (x,), (eps,))
+    return primal, jnp.sum(jvp * eps, axis=tuple(range(1, x.ndim)))
 
 
 def sample_hutchinson(rng, shape, kind: str = "Rademacher", dtype=jnp.float32):
@@ -68,8 +69,7 @@ def get_likelihood_fn(
         def aug_drift(state, t):
             x, _ = state
             vec_t = jnp.full((x.shape[0],), t, x.dtype)
-            drift = drift_fn(x, vec_t)[0]
-            div = hutchinson_divergence(
+            drift, div = hutchinson_divergence(
                 lambda xi, ti: drift_fn(xi, ti)[0], x, vec_t, epsilon)
             return (drift, div)
 

@@ -31,8 +31,10 @@ class CascadeStage:
     """One stage of the cascade.
 
     `model(x, t, cond, low_res)` -> eps; `low_res` is None for the base
-    stage. `aug_level`: noise-augmentation ratio applied to the low-res
-    conditioning (IF-style; 0 disables). SDE algorithm types need `rng`.
+    stage, else the previous stage's (noise-augmented) output which the model
+    itself conditions on (SuperResModel concatenates it: `super_res_inputs`).
+    `aug_level`: noise-augmentation ratio applied to the low-res conditioning
+    (IF-style; 0 disables). SDE algorithm types need `rng`.
     """
 
     model: Callable
@@ -68,9 +70,10 @@ class CascadePipeline:
                                                      rng=rng_aug)
 
         def raw(x, t, c):
-            if low_res is None:
-                return stage.model(x, t, c, None)
-            return stage.model(super_res_inputs(x, low_res), t, c, low_res)
+            # SuperResModel contract (unet.py:666-680): the MODEL concatenates
+            # the low-res conditioning itself (e.g. via super_res_inputs);
+            # the pipeline hands over raw x + low_res exactly once
+            return stage.model(x, t, c, low_res)
 
         if uncond is not None:
             model_fn = model_wrapper(

@@ -196,7 +196,8 @@ class StableDiffusionPipeline:
             steps, b, (height // f, width // f,
                        self.model.vae.config.z_channels), cond,
             unconditional_guidance_scale=guidance_scale,
-            unconditional_conditioning=uncond, rng=rng, order=order)
+            unconditional_conditioning=uncond, rng=rng, order=order,
+            return_intermediate=False)
         img = self.model.decode_first_stage(latents)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
 
@@ -221,7 +222,7 @@ class StableDiffusionPipeline:
             steps_eff, b, z0.shape[1:], cond,
             unconditional_guidance_scale=guidance_scale,
             unconditional_conditioning=uncond, x_T=z_t, t_start=t_enc,
-            order=min(order, steps_eff))
+            order=min(order, steps_eff), return_intermediate=False)
         img = self.model.decode_first_stage(latents)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
 
@@ -229,7 +230,8 @@ class StableDiffusionPipeline:
 def load_sd_checkpoint(path_or_state_dict, *,
                        unet_config: Optional[ADMConfig] = None,
                        vae_config: Optional[VAEConfig] = None,
-                       text_encode: Optional[Callable] = None) -> LatentDiffusion:
+                       text_encode: Optional[Callable] = None,
+                       parameterization: Optional[str] = None) -> LatentDiffusion:
     """Build a LatentDiffusion from a CompVis SD checkpoint: routes
     `model.diffusion_model.*` through convert_adm_unet and
     `first_stage_model.*` through convert_autoencoder_kl. Accepts a path or a
@@ -251,10 +253,14 @@ def load_sd_checkpoint(path_or_state_dict, *,
     unet_params = convert_adm_unet(unet_sd, unet_config)
     vae_params = convert_autoencoder_kl(sd, vae_config)
 
+    if parameterization is None:
+        # SD-2.x checkpoints (linear transformer projections) are v-prediction
+        parameterization = ("v" if unet_config.use_linear_in_transformer
+                            else "eps")
     return LatentDiffusion(
         unet=ADMUNet(config=unet_config), unet_params=unet_params,
         vae=AutoencoderKL(config=vae_config), vae_params=vae_params,
-        text_encode=text_encode)
+        text_encode=text_encode, parameterization=parameterization)
 
 
 def class_conditional_sample(model: LatentDiffusion, class_embedder, labels,
@@ -285,6 +291,7 @@ def class_conditional_sample(model: LatentDiffusion, class_embedder, labels,
     latents, _ = sampler.sample(
         steps, b, (hw[0], hw[1], model.vae.config.z_channels), cond,
         unconditional_guidance_scale=guidance_scale,
-        unconditional_conditioning=uncond, rng=rng, order=order)
+        unconditional_conditioning=uncond, rng=rng, order=order,
+        return_intermediate=False)
     img = model.decode_first_stage(latents)
     return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)

@@ -62,12 +62,19 @@ def build_model(config: Config):
         x = jnp.zeros((1, d.image_size, d.image_size,
                        getattr(mc, "in_channels", d.channels)))
         t = jnp.ones((1,))
-        if family in ("adm", "sd") and getattr(mc, "num_classes", None):
+        if family in ("adm", "sd"):
+            y = (jnp.zeros((1,), jnp.int32)
+                 if getattr(mc, "num_classes", None) else None)
+            # cross-attention params take their shapes from the context:
+            # init with a CLIP-shaped dummy or to_k/to_v would be built
+            # against the query stream
+            ctx = (jnp.zeros((1, 77, mc.context_dim))
+                   if getattr(mc, "use_spatial_transformer", False) else None)
             return jax.jit(lambda r: model.init(
-                r, x, t, jnp.zeros((1,), jnp.int32), deterministic=True))(rng)
-        return jax.jit(lambda r: model.init(r, x, t, deterministic=True)
-                       if family != "ddpm_unet"
-                       else model.init(r, x, t))(rng)
+                r, x, t, y, ctx, deterministic=True))(rng)
+        if family == "ddpm_unet":
+            return jax.jit(lambda r: model.init(r, x, t))(rng)
+        return jax.jit(lambda r: model.init(r, x, t, deterministic=True))(rng)
 
     return model, init_fn
 
@@ -111,11 +118,13 @@ def train(config: Config, data_iter: Iterator[np.ndarray], *,
         )
 
         sde = _make_sde(config)
-        score_fn = lambda p, x, t: get_score_fn(
-            sde, lambda xx, tt: model.apply(p, xx, tt, deterministic=True),
+        score_fn = lambda p, x, t, rng: get_score_fn(
+            sde, lambda xx, tt: model.apply(
+                p, xx, tt, deterministic=False, rngs={"dropout": rng}),
             continuous=True)(x, t)
         loss_fn = sde_loss_fn(sde, score_fn, reduce_mean=tcfg.reduce_mean,
-                              likelihood_weighting=tcfg.likelihood_weighting)
+                              likelihood_weighting=tcfg.likelihood_weighting,
+                              score_rng=True)
         step_fn = make_score_train_step(loss_fn, tx)
     else:
         from dpm_solver_tpu.schedule import NoiseScheduleVP
@@ -123,7 +132,9 @@ def train(config: Config, data_iter: Iterator[np.ndarray], *,
 
         ns = NoiseScheduleVP.discrete(betas=np.linspace(1e-4, 0.02, 1000))
         step_fn = make_train_step(
-            lambda p, x, t: model.apply(p, x, t), ns, tx)
+            lambda p, x, t, rng: model.apply(
+                p, x, t, rngs={"dropout": rng}, deterministic=False),
+            ns, tx, dropout_rng=True)
 
     step_fn = jax.jit(step_fn, donate_argnums=0)
     total = max_steps if max_steps is not None else tcfg.n_iters
@@ -144,12 +155,26 @@ def train(config: Config, data_iter: Iterator[np.ndarray], *,
 def evaluate(config: Config, *, workdir: Optional[str] = None,
              sample_fn: Optional[Callable] = None,
              feature_fn: Optional[Callable] = None,
+             loss_fn: Optional[Callable] = None,
+             bpd_fn: Optional[Callable] = None,
+             bpd_rounds: int = 0,
              rounds: Optional[int] = None,
              poll_timeout: Optional[float] = 0.0) -> dict:
-    """Checkpoint-polling, preemption-resumable sampling evaluation
-    (ref run_lib.py:217-595). `sample_fn(state, rng) -> [B, H, W, C]`
-    produces one round of samples; `feature_fn(images) -> (feats, logits)`
-    feeds FID/IS when provided (else samples are saved raw)."""
+    """Checkpoint-polling, preemption-resumable evaluation
+    (ref run_lib.py:217-595).
+
+    Iterates the SAVED checkpoint steps in [begin_ckpt, end_ckpt] (orbax
+    checkpoints are keyed by global training step, not consecutive ids).
+    Hooks, all optional:
+      sample_fn(state, rng) -> [B,H,W,C]    one sampling round
+      feature_fn(images) -> (feats, logits) FID/IS features; per-round
+                                            features are PERSISTED so
+                                            preemption resume aggregates
+                                            over all rounds (ref
+                                            statistics_r.npz pattern)
+      loss_fn(state, rng) -> float          eval loss (enable_loss)
+      bpd_fn(state, rng) -> [B] bits/dim    likelihood rounds (enable_bpd)
+    """
     workdir = workdir or config.workdir
     ecfg = config.eval
     eval_dir = os.path.join(workdir, "eval")
@@ -169,48 +194,81 @@ def evaluate(config: Config, *, workdir: Optional[str] = None,
     meta = load_eval_meta(eval_dir)
     results = {}
 
-    for ckpt_id in range(max(ecfg.begin_ckpt, meta.ckpt_id),
-                         ecfg.end_ckpt + 1):
-        if ckpts.latest_step() is None or ckpt_id not in ckpts.all_steps():
-            from dpm_solver_tpu.training.checkpoints import wait_for_checkpoint
+    from dpm_solver_tpu.training.checkpoints import wait_for_checkpoint
 
-            if not wait_for_checkpoint(ckpts, ckpt_id, poll_seconds=5.0,
-                                       timeout=poll_timeout):
-                log.info("checkpoint %d not available; stopping", ckpt_id)
-                break
+    if not wait_for_checkpoint(ckpts, ecfg.begin_ckpt, poll_seconds=5.0,
+                               timeout=poll_timeout):
+        log.info("no checkpoint >= %d available", ecfg.begin_ckpt)
+        return results
+    steps_to_eval = [s for s in ckpts.all_steps()
+                     if ecfg.begin_ckpt <= s <= ecfg.end_ckpt
+                     and s >= meta.ckpt_id]
+    for ckpt_id in steps_to_eval:
         state = ckpts.restore(template, ckpt_id)
-
-        feats, logits_all = [], []
-        start_round = meta.sampling_round_id + 1 if meta.ckpt_id == ckpt_id else 0
-        for r in range(start_round, n_rounds):
-            rng = jax.random.fold_in(
-                jax.random.fold_in(jax.random.PRNGKey(config.seed), ckpt_id), r)
-            samples = sample_fn(state, rng)
-            if feature_fn is not None:
-                f, l = feature_fn(samples)
-                feats.append(np.asarray(f))
-                logits_all.append(np.asarray(l))
-            else:
-                np.savez(os.path.join(
-                    eval_dir, f"samples_ckpt{ckpt_id}_round{r}.npz"),
-                    samples=np.asarray(samples))
-            meta = EvalMeta(ckpt_id=ckpt_id, sampling_round_id=r).with_rng(rng)
-            save_eval_meta(meta, eval_dir)
-
+        base_rng = jax.random.fold_in(jax.random.PRNGKey(config.seed), ckpt_id)
         entry = {"rounds": n_rounds}
-        if feature_fn is not None and feats:
-            from dpm_solver_tpu.eval import (
-                fid_from_features,
-                inception_score,
-                load_statistics,
-            )
 
-            feats_all = np.concatenate(feats)
-            entry["inception_score"] = inception_score(
-                np.concatenate(logits_all))[0]
-            if ecfg.fid_stats_path:
-                entry["fid"] = fid_from_features(
-                    feats_all, load_statistics(ecfg.fid_stats_path))
+        if loss_fn is not None and ecfg.enable_loss:
+            entry["loss"] = float(loss_fn(
+                state, jax.random.fold_in(base_rng, 10_000)))
+
+        if bpd_fn is not None and ecfg.enable_bpd:
+            start_b = meta.bpd_round_id + 1 if meta.ckpt_id == ckpt_id else 0
+            for r in range(start_b, bpd_rounds):
+                bpd = np.asarray(bpd_fn(
+                    state, jax.random.fold_in(base_rng, 20_000 + r)))
+                np.savez(os.path.join(eval_dir,
+                                      f"bpd_ckpt{ckpt_id}_round{r}.npz"),
+                         bpd=bpd)
+                meta = EvalMeta(ckpt_id=ckpt_id, bpd_round_id=r,
+                                sampling_round_id=meta.sampling_round_id
+                                if meta.ckpt_id == ckpt_id else -1)
+                save_eval_meta(meta, eval_dir)
+            bpds = [np.load(os.path.join(
+                eval_dir, f"bpd_ckpt{ckpt_id}_round{r}.npz"))["bpd"]
+                for r in range(bpd_rounds)]
+            if bpds:
+                entry["bpd"] = float(np.mean(np.concatenate(bpds)))
+
+        if sample_fn is not None:
+            start_round = (meta.sampling_round_id + 1
+                           if meta.ckpt_id == ckpt_id else 0)
+            for r in range(start_round, n_rounds):
+                rng = jax.random.fold_in(base_rng, r)
+                samples = sample_fn(state, rng)
+                if feature_fn is not None:
+                    f, l = feature_fn(samples)
+                    # persist per round so resume aggregates ALL rounds
+                    np.savez(os.path.join(
+                        eval_dir, f"stats_ckpt{ckpt_id}_round{r}.npz"),
+                        feats=np.asarray(f), logits=np.asarray(l))
+                else:
+                    np.savez(os.path.join(
+                        eval_dir, f"samples_ckpt{ckpt_id}_round{r}.npz"),
+                        samples=np.asarray(samples))
+                meta = EvalMeta(ckpt_id=ckpt_id, sampling_round_id=r,
+                                bpd_round_id=meta.bpd_round_id
+                                if meta.ckpt_id == ckpt_id else -1
+                                ).with_rng(rng)
+                save_eval_meta(meta, eval_dir)
+
+            if feature_fn is not None:
+                from dpm_solver_tpu.eval import (
+                    fid_from_features,
+                    inception_score,
+                    load_statistics,
+                )
+
+                stats = [np.load(os.path.join(
+                    eval_dir, f"stats_ckpt{ckpt_id}_round{r}.npz"))
+                    for r in range(n_rounds)]
+                feats_all = np.concatenate([s["feats"] for s in stats])
+                entry["inception_score"] = inception_score(
+                    np.concatenate([s["logits"] for s in stats]))[0]
+                if ecfg.fid_stats_path:
+                    entry["fid"] = fid_from_features(
+                        feats_all, load_statistics(ecfg.fid_stats_path))
+
         results[ckpt_id] = entry
         meta = EvalMeta(ckpt_id=ckpt_id + 1)
         save_eval_meta(meta, eval_dir)

@@ -41,17 +41,20 @@ def sde_loss_fn(
     reduce_mean: bool = True,
     likelihood_weighting: bool = False,
     eps: float = 1e-5,
+    score_rng: bool = False,
 ) -> Callable:
-    """Returns loss(params, x0, rng) -> scalar; `score_fn(params, x, t)`."""
+    """Returns loss(params, x0, rng) -> scalar; `score_fn(params, x, t)`,
+    or `score_fn(params, x, t, rng)` when `score_rng=True` (dropout)."""
 
     def loss(params, x0, rng):
-        rng_t, rng_z = jax.random.split(rng)
+        rng_t, rng_z, rng_d = jax.random.split(rng, 3)
         t = jax.random.uniform(rng_t, (x0.shape[0],), minval=eps,
                                maxval=sde.T)
         z = jax.random.normal(rng_z, x0.shape, x0.dtype)
         mean, std = sde.marginal_prob(x0, t)
         x_t = mean + batch_mul(std, z)
-        score = score_fn(params, x_t, t)
+        score = (score_fn(params, x_t, t, rng_d) if score_rng
+                 else score_fn(params, x_t, t))
         if likelihood_weighting:
             g2 = sde.sde(jnp.zeros_like(x0), t)[1] ** 2
             losses = jnp.square(score + batch_mul(1.0 / std, z))

@@ -75,12 +75,17 @@ def make_train_step(
     *,
     num_timesteps: int = 1000,
     loss_type: str = "simple",
+    dropout_rng: bool = False,
 ) -> Callable:
     """Returns step(state, batch_x0, rng) -> (state, metrics).
 
     `apply_fn(params, x, t_discrete_float)` is the eps-prediction net (e.g.
     DDPMUNet.apply with discrete labels 0..N-1). Loss = E[ sum_px (eps -
     eps_hat)^2 ] matching the reference exactly.
+
+    `dropout_rng=True` changes the contract to
+    `apply_fn(params, x, t, rng)` so the net can run its dropout layers
+    (the reference trains WITH dropout; run_lib opts in).
     """
     # alpha-bar lookup table for discrete t (fp32, device constant)
     t_grid = (jnp.arange(num_timesteps, dtype=jnp.float32) + 1.0) / num_timesteps
@@ -88,18 +93,22 @@ def make_train_step(
     sqrt_ab = jnp.exp(log_alpha)
     sqrt_1mab = jnp.sqrt(-jnp.expm1(2.0 * log_alpha))
 
-    def loss_fn(params, x0, t, eps):
+    def loss_fn(params, x0, t, eps, rng_d):
         a = sqrt_ab[t][:, None, None, None]
         s = sqrt_1mab[t][:, None, None, None]
         xt = x0 * a + eps * s
-        out = apply_fn(params, xt, t.astype(jnp.float32))
+        t_f = t.astype(jnp.float32)
+        out = (apply_fn(params, xt, t_f, rng_d) if dropout_rng
+               else apply_fn(params, xt, t_f))
         return jnp.mean(jnp.sum(jnp.square(eps - out), axis=(1, 2, 3)))
 
     def step(state: TrainState, x0, rng):
-        rng_t, rng_e = jax.random.split(jax.random.fold_in(rng, state.step))
+        rng_t, rng_e, rng_d = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3)
         t = antithetic_times(rng_t, x0.shape[0], num_timesteps)
         eps = jax.random.normal(rng_e, x0.shape, x0.dtype)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, x0, t, eps)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, x0, t, eps,
+                                                  rng_d)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

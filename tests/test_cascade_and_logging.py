@@ -20,6 +20,10 @@ from dpm_solver_tpu.utils.logging import (
 
 
 def _stage_model(resolution, in_ch):
+    """SuperResModel contract: the MODEL concatenates the low-res
+    conditioning (super_res_inputs), the pipeline passes raw x + low_res."""
+    from dpm_solver_tpu.models.adm_unet import super_res_inputs
+
     cfg = ADMConfig(image_size=resolution, in_channels=in_ch,
                     model_channels=32, out_channels=3, num_res_blocks=1,
                     attention_resolutions=(), channel_mult=(1, 2),
@@ -28,7 +32,13 @@ def _stage_model(resolution, in_ch):
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, resolution, resolution, in_ch)),
                         jnp.ones((1,)), deterministic=True)
-    return lambda x, t, c, low: model.apply(params, x, t, deterministic=True)
+
+    def fn(x, t, c, low):
+        if low is not None:
+            x = super_res_inputs(x, low)
+        return model.apply(params, x, t, deterministic=True)
+
+    return fn
 
 
 def test_two_stage_cascade_shapes():

@@ -215,3 +215,48 @@ def test_cli_sample_guided_class_conditional(tmp_path, capsys):
     data = np.load(tmp_path / "out" / "sample.npz")["samples"]
     assert data.shape == (2, 16, 16, 3)
     assert np.isfinite(data).all()
+
+
+def test_evaluate_iterates_saved_steps_and_persists_features(tmp_path):
+    """Checkpoints are keyed by global training step (4 here, not 1..4);
+    evaluate must iterate saved steps only, and FID features must aggregate
+    over ALL rounds across a preemption resume."""
+    from dpm_solver_tpu.run_lib import evaluate, train
+
+    config = _tiny_config(tmp_path, eval=EvalConfig(
+        batch_size=4, num_samples=8, begin_ckpt=1, end_ckpt=100))
+    rng = np.random.RandomState(0)
+
+    def gen():
+        while True:
+            yield rng.randn(8, 16, 16, 3).astype(np.float32)
+
+    train(config, gen(), max_steps=5)  # saves orbax step 4 only
+
+    def sample_fn(state, rng_):
+        return np.zeros((4, 16, 16, 3), np.float32)
+
+    def feature_fn(images):
+        return np.ones((4, 8), np.float32), np.zeros((4, 5), np.float32)
+
+    # simulate preemption: round 0 done (features already on disk)
+    os.makedirs(os.path.join(str(tmp_path), "eval"), exist_ok=True)
+    np.savez(os.path.join(str(tmp_path), "eval", "stats_ckpt4_round0.npz"),
+             feats=np.ones((4, 8), np.float32),
+             logits=np.zeros((4, 5), np.float32))
+    save_eval_meta(EvalMeta(ckpt_id=4, sampling_round_id=0),
+                   os.path.join(str(tmp_path), "eval"))
+
+    calls = []
+
+    def counting_sample_fn(state, rng_):
+        calls.append(1)
+        return sample_fn(state, rng_)
+
+    results = evaluate(config, sample_fn=counting_sample_fn,
+                       feature_fn=feature_fn, rounds=2,
+                       loss_fn=lambda state, rng_: 0.125)
+    assert list(results.keys()) == [4]  # only the saved step, not 1..100
+    assert len(calls) == 1  # round 0 resumed from disk, only round 1 ran
+    assert results[4]["inception_score"] == pytest.approx(1.0)
+    assert results[4]["loss"] == 0.125
