@@ -51,7 +51,10 @@ def _build_sampler_from_config(config, params, model, *, labels=None,
 
     scfg = config.sampling
     d = config.data
-    ns = NoiseScheduleVP.discrete(betas=np.linspace(1e-4, 0.02, 1000))
+    # the table comes from the config's diffusion block — e.g. imagenet64's
+    # iDDPM is cosine with 4000 steps, NOT linear/1000
+    # (configs/imagenet64.yml diffusion: beta_schedule: cosine)
+    ns = NoiseScheduleVP.discrete(betas=config.diffusion.betas())
 
     mc = config.model_config
     split_mean = getattr(mc, "out_channels", d.channels) == 2 * d.channels
@@ -174,9 +177,15 @@ def cmd_eval(args):
     config = get_config(args.config, workdir=args.workdir)
     model, _ = build_model(config)
     scfg = config.sampling
+    n_classes = getattr(config.model_config, "num_classes", None)
 
     def sample_fn(state, rng):
-        solver, _ = _build_sampler_from_config(config, state.ema_params, model)
+        rng, rng_y = jax.random.split(rng)
+        # class-conditional nets need labels or apply() asserts
+        labels = (jax.random.randint(rng_y, (config.eval.batch_size,), 0,
+                                     n_classes) if n_classes else None)
+        solver, _ = _build_sampler_from_config(config, state.ema_params,
+                                               model, labels=labels)
         d = config.data
         x_T = jax.random.normal(rng, (config.eval.batch_size, d.image_size,
                                       d.image_size, d.channels))

@@ -35,6 +35,47 @@ class SamplingConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    """Discrete forward-process table (ref runners/diffusion.py:81-117 and
+    the configs' `diffusion:` block). `betas()` reproduces the reference's
+    `get_beta_schedule` exactly, including the iDDPM cosine alpha-bar
+    discretization with max_beta=0.999 (:62-79)."""
+
+    beta_schedule: str = "linear"
+    beta_start: Optional[float] = 1e-4
+    beta_end: Optional[float] = 0.02
+    num_diffusion_timesteps: int = 1000
+
+    def betas(self):
+        import numpy as np
+
+        n = self.num_diffusion_timesteps
+        kind = self.beta_schedule
+        if kind == "linear":
+            return np.linspace(self.beta_start, self.beta_end, n,
+                               dtype=np.float64)
+        if kind == "quad":
+            return np.linspace(self.beta_start ** 0.5, self.beta_end ** 0.5,
+                               n, dtype=np.float64) ** 2
+        if kind == "cosine":
+            def alpha_bar(t):
+                return np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+
+            i = np.arange(n, dtype=np.float64)
+            return np.minimum(1.0 - alpha_bar((i + 1) / n) / alpha_bar(i / n),
+                              0.999)
+        if kind == "const":
+            return self.beta_end * np.ones(n, dtype=np.float64)
+        if kind == "jsd":
+            return 1.0 / np.linspace(n, 1, n, dtype=np.float64)
+        if kind == "sigmoid":
+            x = np.linspace(-6, 6, n)
+            return (1 / (np.exp(-x) + 1)) * (self.beta_end - self.beta_start) \
+                + self.beta_start
+        raise NotImplementedError(kind)
+
+
+@dataclasses.dataclass(frozen=True)
 class DataConfig:
     dataset: str = "cifar10"
     image_size: int = 32
@@ -83,6 +124,7 @@ class Config:
     model_family: str  # ddpm_unet | ncsnpp | adm | sd
     model_config: object
     classifier_config: object = None
+    diffusion: DiffusionConfig = DiffusionConfig()
     data: DataConfig = DataConfig()
     sampling: SamplingConfig = SamplingConfig()
     training: TrainingConfig = TrainingConfig()
@@ -145,6 +187,9 @@ def _imagenet64() -> Config:
     return Config(
         name="imagenet64_iddpm", model_family="adm",
         model_config=ADMConfig.imagenet64_iddpm(),
+        diffusion=DiffusionConfig(beta_schedule="cosine", beta_start=None,
+                                  beta_end=None,
+                                  num_diffusion_timesteps=4000),
         data=DataConfig(dataset="imagenet64", image_size=64),
         sampling=SamplingConfig(order=3, steps=10, skip_type="logSNR",
                                 method="multistep"),

@@ -74,9 +74,11 @@ def make_dataset(
     if shuffle:
         ds = ds.shuffle(min(len(images), 10_000), seed=seed)
 
+    integer_pixels = np.issubdtype(np.asarray(images).dtype, np.integer)
+
     def prep(img):
         img = tf.cast(img, tf.float32)
-        if img.dtype != tf.float32 or images.dtype == np.uint8:
+        if integer_pixels:  # 0..255 pixel values -> [0, 1]
             img = img / 255.0
         if random_flip:
             img = tf.image.random_flip_left_right(img)

@@ -130,7 +130,7 @@ def train(config: Config, data_iter: Iterator[np.ndarray], *,
         from dpm_solver_tpu.schedule import NoiseScheduleVP
         from dpm_solver_tpu.training.train import make_train_step
 
-        ns = NoiseScheduleVP.discrete(betas=np.linspace(1e-4, 0.02, 1000))
+        ns = NoiseScheduleVP.discrete(betas=config.diffusion.betas())
         step_fn = make_train_step(
             lambda p, x, t, rng: model.apply(
                 p, x, t, rngs={"dropout": rng}, deterministic=False),

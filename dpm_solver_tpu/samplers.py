@@ -80,7 +80,7 @@ def ancestral_sampling_predictor(rng, x, t, sde, score_fn, probability_flow=Fals
 
     assert not probability_flow
     if isinstance(sde, VPSDE):
-        betas = jnp.asarray(np.linspace(sde.beta_0 / sde.N, sde.beta_1 / sde.N, sde.N), x.dtype)
+        betas = jnp.asarray(sde._betas(), x.dtype)
         idx = (t * (sde.N - 1) / sde.T).astype(jnp.int32)
         beta = betas[idx]
         score = score_fn(x, t)
@@ -112,7 +112,7 @@ def _alpha_for(sde, t, dtype):
     from dpm_solver_tpu.sde import VPSDE
 
     if isinstance(sde, VPSDE):
-        betas = jnp.asarray(np.linspace(sde.beta_0 / sde.N, sde.beta_1 / sde.N, sde.N), dtype)
+        betas = jnp.asarray(sde._betas(), dtype)
         idx = (t * (sde.N - 1) / sde.T).astype(jnp.int32)
         return 1.0 - betas[idx]
     return jnp.ones_like(t)
@@ -201,8 +201,9 @@ def get_pc_sampler(
 
         (rng, x, x_mean), _ = jax.lax.scan(body, (rng, x, x), timesteps)
         out = x_mean if denoise else x
-        nfe = sde.N * (n_corrector_steps + 1)
-        return out, jnp.asarray(nfe)
+        evals_per_step = ((0 if predictor == "none" else 1)
+                          + (0 if corrector == "none" else n_corrector_steps))
+        return out, jnp.asarray(sde.N * evals_per_step)
 
     return sampler
 
@@ -271,13 +272,11 @@ def ddpm_ancestral_sampler(model_fn: Callable, ns: NoiseScheduleVP,
     log_alpha = np.asarray(
         ns.marginal_log_mean_coeff_np((np.arange(n_train, dtype=np.float64) + 1) / n_train))
     abar = np.exp(2.0 * log_alpha)
-    abar_prev = np.concatenate([[1.0], abar[:-1]])
-    beta = 1.0 - abar / abar_prev
 
     t_seq = seq[::-1].astype(np.float64).copy()
     at = abar[seq][::-1].copy()
     atm1 = np.concatenate([[1.0], abar[seq]])[:-1][::-1].copy()
-    beta_t = 1.0 - at / atm1
+    beta_t = 1.0 - at / atm1  # subsampled-grid beta (denoising.py:81)
 
     def sampler(x, rng):
         rows = tuple(jnp.asarray(v, jnp.float32) for v in (t_seq, at, atm1, beta_t))
@@ -290,7 +289,9 @@ def ddpm_ancestral_sampler(model_fn: Callable, ns: NoiseScheduleVP,
             x0 = jnp.clip(x0, -1.0, 1.0)
             mean = (jnp.sqrt(atm1_i) * beta_i * x0 +
                     jnp.sqrt(1.0 - beta_i) * (1.0 - atm1_i) * x) / (1.0 - at_i)
-            logvar = jnp.log(jnp.maximum(beta_i * (1.0 - atm1_i) / (1.0 - at_i), 1e-20))
+            # fixed-LARGE variance, matching the reference exactly
+            # (denoising.py:102: logvar = beta_t.log())
+            logvar = jnp.log(jnp.maximum(beta_i, 1e-20))
             z = jax.random.normal(jax.random.fold_in(rng, i), x.shape, x.dtype)
             mask = jnp.asarray(t > 0, x.dtype)
             x_next = mean + mask * jnp.exp(0.5 * logvar) * z
@@ -322,7 +323,8 @@ def plms_sampler(
     at_seq = abar[seq][::-1].copy()
     at_next_seq = np.concatenate([[1.0], abar[seq]])[:-1][::-1].copy()
     t_seq = seq[::-1].astype(np.float64).copy()
-    t_next_seq = np.concatenate([seq, [0]])[1:][::-1].astype(np.float64).copy()
+    # next-LOWER grid time for each reversed step (last pairs with 0)
+    t_next_seq = np.concatenate([[0], seq])[:-1][::-1].astype(np.float64).copy()
     # AB coefficients for history depths 1..4 (newest first)
     ab = np.zeros((4, 4), np.float32)
     ab[0, 0] = 1.0

@@ -160,13 +160,13 @@ class NoiseScheduleVP(metaclass=_RefCompatMeta):
         else:  # cosine
             s = 0.008
             beta_max = 999.0
-            # T chosen so beta(t) <= beta_max, as in the reference JAX file
-            # (dpm_solver_jax.py:114-124).
-            t_max = 2.0 * (1.0 + s) / math.pi * math.atan(beta_max / 100.0) - s
+            # the reference hard-sets T=0.9946 for cosine (T=1 is numerically
+            # singular) and keeps total_N=1000 for all continuous schedules
+            # (dpm_solver_jax.py:110-124)
             return NoiseScheduleVP(
                 schedule="cosine",
-                total_N=1,
-                T=min(t_max, 0.9946),
+                total_N=1000,
+                T=0.9946,
                 cosine_s=s,
                 cosine_beta_max=beta_max,
             )

@@ -428,8 +428,8 @@ class DPM_Solver:
         (ref: dpm_solver_pytorch.py:1032-1045)
         """
         ns = self.noise_schedule
-        # same continuous-schedule guard as the plan builders: cosine sets
-        # total_N=1, so the bare 1/total_N default would start beyond T
+        # same default as the plan builders: 1/N for discrete tables, 1e-3
+        # for continuous schedules (the reference's continuous eps)
         t_0 = ((1.0 / ns.total_N if ns.schedule == "discrete" else 1e-3)
                if t_start is None else t_start)
         t_T = ns.T if t_end is None else t_end

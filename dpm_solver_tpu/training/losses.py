@@ -91,9 +91,7 @@ def ddpm_loss_fn(vpsde: VPSDE, model_fn: Callable, *,
                  reduce_mean: bool = True) -> Callable:
     """Legacy DDPM eps-MSE on the discrete beta table (ref losses.py:152-178)."""
     assert isinstance(vpsde, VPSDE)
-    betas = np.linspace(vpsde.beta_0 / vpsde.N, vpsde.beta_1 / vpsde.N,
-                        vpsde.N)
-    ab = np.cumprod(1.0 - betas)
+    ab = np.cumprod(1.0 - np.asarray(vpsde._betas()))
     sqrt_ab = np.sqrt(ab)
     sqrt_1mab = np.sqrt(1.0 - ab)
 
