@@ -227,6 +227,57 @@ def cmd_txt2img(args):
     print(f"wrote {args.batch} images to {args.outdir}")
 
 
+def _load_image(path, *, gray: bool = False):
+    """PNG/JPEG/npz -> float array; images map to [-1,1], masks to [0,1]."""
+    if path.endswith(".npz"):
+        d = np.load(path)
+        return np.asarray(d[list(d.keys())[0]], np.float32)
+    from PIL import Image
+
+    img = Image.open(path).convert("L" if gray else "RGB")
+    arr = np.asarray(img, np.float32) / 255.0
+    return arr[None] if gray else (arr[None] * 2.0 - 1.0)
+
+
+def _make_sd_pipe(args):
+    from dpm_solver_tpu.models.text_encoder import FrozenCLIPEmbedder
+    from dpm_solver_tpu.pipelines import (
+        StableDiffusionPipeline,
+        load_sd_checkpoint,
+    )
+
+    text = FrozenCLIPEmbedder(args.clip) if args.clip else None
+    return StableDiffusionPipeline(load_sd_checkpoint(args.ckpt,
+                                                      text_encode=text))
+
+
+def cmd_img2img(args):
+    import jax
+
+    pipe = _make_sd_pipe(args)
+    init = np.repeat(_load_image(args.init_img), args.batch, axis=0)
+    imgs = pipe.img2img(init, [args.prompt] * args.batch,
+                        strength=args.strength, steps=args.steps,
+                        guidance_scale=args.scale,
+                        rng=jax.random.PRNGKey(args.seed))
+    _save_images(np.asarray(imgs), args.outdir, prefix="img2img")
+    print(f"wrote {args.batch} images to {args.outdir}")
+
+
+def cmd_inpaint(args):
+    import jax
+
+    pipe = _make_sd_pipe(args)
+    init = np.repeat(_load_image(args.init_img), args.batch, axis=0)
+    mask = np.repeat((_load_image(args.mask, gray=True) >= 0.5)
+                     .astype(np.float32), args.batch, axis=0)
+    imgs = pipe.inpaint(init, mask, [args.prompt] * args.batch,
+                        steps=args.steps, guidance_scale=args.scale,
+                        rng=jax.random.PRNGKey(args.seed))
+    _save_images(np.asarray(imgs), args.outdir, prefix="inpaint")
+    print(f"wrote {args.batch} images to {args.outdir}")
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
@@ -268,6 +319,27 @@ def main(argv=None):
     xp.add_argument("--seed", type=int, default=42)
     xp.add_argument("--outdir", default="./outputs")
     xp.set_defaults(fn=cmd_txt2img)
+
+    for name, fn, extra in (
+            ("img2img", cmd_img2img, ("--strength",)),
+            ("inpaint", cmd_inpaint, ("--mask",))):
+        gp = sub.add_parser(name)
+        gp.add_argument("--ckpt", required=True)
+        gp.add_argument("--init-img", required=True,
+                        help="input image (png/jpg/npz)")
+        if "--mask" in extra:
+            gp.add_argument("--mask", required=True,
+                            help="mask image, white = regenerate")
+        if "--strength" in extra:
+            gp.add_argument("--strength", type=float, default=0.75)
+        gp.add_argument("--prompt", required=True)
+        gp.add_argument("--clip", default=None)
+        gp.add_argument("--steps", type=int, default=25)
+        gp.add_argument("--scale", type=float, default=7.5)
+        gp.add_argument("--batch", type=int, default=1)
+        gp.add_argument("--seed", type=int, default=42)
+        gp.add_argument("--outdir", default="./outputs")
+        gp.set_defaults(fn=fn)
 
     lp = sub.add_parser("configs", help="list registered configs")
     lp.set_defaults(fn=lambda a: print("\n".join(

@@ -219,6 +219,80 @@ def _imagenet256() -> Config:
     )
 
 
+@register_config("celeba64_ddpm")
+def _celeba64() -> Config:
+    """CelebA 64x64 DDPM ckpt (configs/celeba.yml): same solver settings as
+    the CIFAR-10 entry."""
+    from dpm_solver_tpu.models import DDPMUNetConfig
+
+    return Config(
+        name="celeba64_ddpm", model_family="ddpm_unet",
+        model_config=DDPMUNetConfig.celeba(),
+        data=DataConfig(dataset="celeba", image_size=64, centered=True),
+        sampling=SamplingConfig(order=3, steps=10, skip_type="logSNR",
+                                method="multistep"),
+        eval=EvalConfig(batch_size=500, num_samples=50_000),
+    )
+
+
+@register_config("imagenet128_guided")
+def _imagenet128() -> Config:
+    """ImageNet128 ADM classifier-guided, scale 1.25
+    (configs/imagenet128_guided.yml)."""
+    from dpm_solver_tpu.models import ADMConfig
+
+    classifier = dataclasses.replace(
+        ADMConfig.imagenet128_guided(), model_channels=128,
+        out_channels=1000, pool="attention", num_classes=None,
+        num_head_channels=64)
+    return Config(
+        name="imagenet128_guided", model_family="adm",
+        model_config=ADMConfig.imagenet128_guided(),
+        classifier_config=classifier,
+        data=DataConfig(dataset="imagenet", image_size=128),
+        sampling=SamplingConfig(order=2, steps=20, skip_type="time_uniform",
+                                method="multistep", classifier_scale=1.25),
+        eval=EvalConfig(batch_size=200, num_samples=50_000),
+    )
+
+
+@register_config("imagenet512_guided")
+def _imagenet512() -> Config:
+    """ImageNet512 ADM classifier-guided, scale 4.0
+    (configs/imagenet512_guided.yml; fractional first channel mult)."""
+    from dpm_solver_tpu.models import ADMConfig
+
+    classifier = dataclasses.replace(
+        ADMConfig.imagenet512_guided(), model_channels=128,
+        out_channels=1000, pool="attention", num_classes=None)
+    return Config(
+        name="imagenet512_guided", model_family="adm",
+        model_config=ADMConfig.imagenet512_guided(),
+        classifier_config=classifier,
+        data=DataConfig(dataset="imagenet", image_size=512),
+        sampling=SamplingConfig(order=2, steps=20, skip_type="time_uniform",
+                                method="multistep", thresholding=True,
+                                classifier_scale=4.0),
+        eval=EvalConfig(batch_size=20, num_samples=10_000),
+    )
+
+
+@register_config("lsun_bedroom")
+def _lsun_bedroom() -> Config:
+    """LSUN bedroom 256 unconditional ADM (configs/bedroom_guided.yml,
+    cond_class: false / classifier_scale 0)."""
+    from dpm_solver_tpu.models import ADMConfig
+
+    return Config(
+        name="lsun_bedroom", model_family="adm",
+        model_config=ADMConfig.lsun_bedroom_guided(),
+        data=DataConfig(dataset="lsun_bedroom", image_size=256),
+        sampling=SamplingConfig(order=2, steps=20, skip_type="time_uniform",
+                                method="multistep"),
+        eval=EvalConfig(batch_size=50, num_samples=50_000),
+    )
+
+
 @register_config("score_sde_cifar10_vp_deep")
 def _score_sde_vp() -> Config:
     """score_sde ddpmpp_deep cont. VP ckpt_8: singlestep order-3, 10 NFE,

@@ -48,7 +48,7 @@ class ADMConfig:
     num_res_blocks: int = 2
     attention_resolutions: Tuple[int, ...] = (4, 8)
     dropout: float = 0.0
-    channel_mult: Tuple[int, ...] = (1, 2, 3, 4)
+    channel_mult: Tuple[float, ...] = (1, 2, 3, 4)  # 512-model uses 0.5 first
     conv_resample: bool = True
     num_classes: Optional[int] = None
     num_heads: int = 1
@@ -109,6 +109,39 @@ class ADMConfig:
             image_size=64, model_channels=128, out_channels=6,
             num_res_blocks=3, attention_resolutions=(4, 8),
             channel_mult=(1, 2, 3, 4), num_heads=4,
+        )
+
+    @staticmethod
+    def imagenet128_guided() -> "ADMConfig":
+        """configs/imagenet128_guided.yml model section (ADM 128x128 cond)."""
+        return ADMConfig(
+            image_size=128, model_channels=256, out_channels=6,
+            num_res_blocks=2, attention_resolutions=(4, 8, 16),
+            channel_mult=(1, 1, 2, 3, 4), num_classes=1000, num_heads=4,
+            use_scale_shift_norm=True, resblock_updown=True,
+        )
+
+    @staticmethod
+    def imagenet512_guided() -> "ADMConfig":
+        """configs/imagenet512_guided.yml model section (ADM 512x512 cond;
+        note the fractional first channel mult)."""
+        return ADMConfig(
+            image_size=512, model_channels=256, out_channels=6,
+            num_res_blocks=2, attention_resolutions=(16, 32, 64),
+            channel_mult=(0.5, 1, 1, 2, 2, 4, 4), num_classes=1000,
+            num_heads=4, num_head_channels=64, use_scale_shift_norm=True,
+            resblock_updown=True,
+        )
+
+    @staticmethod
+    def lsun_bedroom_guided() -> "ADMConfig":
+        """configs/bedroom_guided.yml model section (unconditional ADM 256)."""
+        return ADMConfig(
+            image_size=256, model_channels=256, out_channels=6,
+            num_res_blocks=2, attention_resolutions=(8, 16, 32), dropout=0.1,
+            channel_mult=(1, 1, 2, 2, 4, 4), num_heads=4,
+            num_head_channels=64, use_scale_shift_norm=True,
+            resblock_updown=True,
         )
 
     @staticmethod

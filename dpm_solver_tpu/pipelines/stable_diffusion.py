@@ -226,6 +226,68 @@ class StableDiffusionPipeline:
         img = self.model.decode_first_stage(latents)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
 
+    def inpaint(self, init_image, mask, prompts, *, negative_prompt: str = "",
+                steps: int = 25, guidance_scale: float = 7.5, rng=None,
+                order: int = 2):
+        """Text-guided inpainting by masked latent resampling.
+
+        Repaint-style: at every solver step the KNOWN region (mask==0) is
+        re-imposed from the init latent forward-noised to that step's level
+        (the `correcting_xt_fn` hook, same machinery as DiffEdit), and the
+        final image is composited in pixel space exactly as the reference
+        does (scripts/inpaint.py:88-96:
+        `inpainted = (1-mask)*image + mask*predicted`). Works with any
+        txt2img checkpoint — no dedicated inpainting UNet needed.
+
+        Args:
+          init_image: [B,H,W,3] in [-1,1].
+          mask: [B,H,W] or [B,H,W,1], 1 = region to REGENERATE, 0 = keep.
+        """
+        from dpm_solver_tpu.solver.plan import get_time_steps
+
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        b = len(prompts)
+        assert init_image.shape[0] == b
+        mask = jnp.asarray(mask, init_image.dtype)
+        if mask.ndim == 3:
+            mask = mask[..., None]
+        cond = self.model.get_learned_conditioning(prompts)
+        uncond = self.model.get_learned_conditioning([negative_prompt] * b)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+
+        z0 = self.model.encode_first_stage(init_image)
+        f = self.vae_factor
+        mask_latent = (jax.image.resize(
+            mask, (b, mask.shape[1] // f, mask.shape[2] // f, 1),
+            method="nearest") >= 0.5).astype(z0.dtype)
+
+        # per-step blend targets on the SAME grid the sampler will use
+        ns = self.sampler.noise_schedule
+        grid = get_time_steps(ns, "time_uniform", float(ns.T),
+                              1.0 / ns.total_N, steps)
+        blend = jnp.stack([
+            self.sampler.stochastic_encode(
+                z0, self.sampler.time_to_ratio(float(t_k)),
+                rng=jax.random.fold_in(rng, k))
+            for k, t_k in enumerate(grid)
+        ])
+
+        def correcting_xt_fn(x, t, step):
+            ref = jnp.take(blend, step, axis=0)
+            return x * mask_latent + (1.0 - mask_latent) * ref
+
+        latents, _ = self.sampler.sample(
+            steps, b, z0.shape[1:], cond,
+            unconditional_guidance_scale=guidance_scale,
+            unconditional_conditioning=uncond, x_T=blend[0],
+            order=order, correcting_xt_fn=correcting_xt_fn,
+            return_intermediate=False)
+        pred = jnp.clip((self.model.decode_first_stage(latents) + 1.0) / 2.0,
+                        0.0, 1.0)
+        orig = jnp.clip((init_image + 1.0) / 2.0, 0.0, 1.0)
+        return (1.0 - mask) * orig + mask * pred
+
 
 def load_sd_checkpoint(path_or_state_dict, *,
                        unet_config: Optional[ADMConfig] = None,

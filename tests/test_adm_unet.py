@@ -188,3 +188,35 @@ def test_adm_timestep_embedding_matches_torch(ref_guided):
     want = nn_mod.timestep_embedding(torch.from_numpy(t), 32).numpy()
     got = np.asarray(adm_timestep_embedding(jnp.asarray(t), 32))
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
+
+
+def test_fractional_channel_mult_forward():
+    """The ImageNet-512 ADM uses channel_mult=(0.5,1,1,2,2,4,4)
+    (configs/imagenet512_guided.yml); int(mult*ch) must flow through the
+    layout, converter head-planner and forward."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(ADMConfig.imagenet512_guided(), image_size=32,
+                      model_channels=64, num_res_blocks=1,
+                      attention_resolutions=(8,), channel_mult=(0.5, 1, 2),
+                      num_classes=4, num_head_channels=16)
+    m = ADMUNet(config=cfg)
+    x = jnp.zeros((2, 32, 32, 3))
+    t = jnp.ones((2,))
+    y = jnp.zeros((2,), jnp.int32)
+    p = jax.jit(lambda r: m.init(r, x, t, y, deterministic=True))(
+        jax.random.PRNGKey(0))
+    out = m.apply(p, x, t, y, deterministic=True)
+    assert out.shape == (2, 32, 32, 6)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_new_config_registry_entries():
+    from dpm_solver_tpu.configs import get_config
+
+    c = get_config("imagenet128_guided")
+    assert c.sampling.classifier_scale == 1.25
+    assert c.classifier_config.pool == "attention"
+    assert get_config("imagenet512_guided").model_config.channel_mult[0] == 0.5
+    assert get_config("lsun_bedroom").model_config.num_classes is None
+    assert get_config("celeba64_ddpm").model_config.ch_mult == (1, 2, 2, 2, 4)

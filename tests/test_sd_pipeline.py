@@ -182,3 +182,25 @@ def test_load_sd_checkpoint_routing():
         jnp.asarray(z.transpose(0, 2, 3, 1)) * ldm.scale_factor)
     np.testing.assert_allclose(np.asarray(got_dec).transpose(0, 3, 1, 2),
                                want_dec, rtol=0, atol=3e-5)
+
+
+def test_inpaint_end_to_end():
+    """Masked resampling: the kept region is the original image exactly
+    (pixel-space composite), the masked region is regenerated, and the
+    output stays in [0,1]."""
+    pipe = StableDiffusionPipeline(_tiny_ldm())
+    rs = np.random.RandomState(0)
+    init = jnp.asarray(rs.rand(1, 16, 16, 3).astype(np.float32) * 2 - 1)
+    mask = np.zeros((1, 16, 16), np.float32)
+    mask[:, 4:12, 4:12] = 1.0
+    out = np.asarray(pipe.inpaint(init, mask, ["a cat"], steps=6,
+                                  guidance_scale=3.0,
+                                  rng=jax.random.PRNGKey(5)))
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(out).all() and out.min() >= 0.0 and out.max() <= 1.0
+    orig = np.clip((np.asarray(init) + 1) / 2, 0, 1)
+    keep = mask[..., None] == 0
+    np.testing.assert_array_equal(out[np.broadcast_to(keep, out.shape)],
+                                  orig[np.broadcast_to(keep, out.shape)])
+    changed = np.abs(out - orig)[np.broadcast_to(~keep, out.shape)]
+    assert changed.mean() > 1e-3  # the hole actually got regenerated
