@@ -101,6 +101,45 @@ def numpy_iterator(ds) -> Iterator[np.ndarray]:
         yield batch.numpy() if hasattr(batch, "numpy") else np.asarray(batch)
 
 
+def tfrecord_dataset(path, *, resolution: int, batch_size: int,
+                     uniform_dequantization: bool = False,
+                     centered: bool = False, random_flip: bool = False,
+                     shuffle: bool = True, repeat: bool = True, seed: int = 0):
+    """FFHQ/CelebAHQ TFRecord pipeline: records hold a CHW uint8 tensor as
+    {'shape': int64[3], 'data': bytes} (ref datasets.py:151-171). Emits
+    [B, H, W, C] float batches in model space."""
+    import tensorflow as tf
+
+    tf.config.experimental.set_visible_devices([], "GPU")
+    ds = tf.data.TFRecordDataset(path)
+    if repeat:
+        ds = ds.repeat()
+    if shuffle:
+        ds = ds.shuffle(10_000, seed=seed)
+
+    def parse(record):
+        sample = tf.io.parse_single_example(record, features={
+            "shape": tf.io.FixedLenFeature([3], tf.int64),
+            "data": tf.io.FixedLenFeature([], tf.string)})
+        img = tf.reshape(tf.io.decode_raw(sample["data"], tf.uint8),
+                         sample["shape"])
+        img = tf.transpose(img, (1, 2, 0))  # CHW (reference layout) -> HWC
+        img = tf.image.convert_image_dtype(img, tf.float32)
+        if resolution:
+            img = tf.image.resize(img, (resolution, resolution),
+                                  antialias=True)
+        if random_flip:
+            img = tf.image.random_flip_left_right(img)
+        if uniform_dequantization:
+            img = (tf.random.uniform(tf.shape(img)) + img * 255.0) / 256.0
+        if centered:
+            img = img * 2.0 - 1.0
+        return img
+
+    ds = ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE)
+    return ds.batch(batch_size, drop_remainder=True).prefetch(tf.data.AUTOTUNE)
+
+
 def image_folder_dataset(path: str, *, resolution: int, batch_size: int,
                          centered: bool = False, random_flip: bool = True,
                          shuffle: bool = True, repeat: bool = True, seed: int = 0):

@@ -184,3 +184,30 @@ def test_make_dataset_float_input_not_rescaled():
                       random_flip=False, shuffle=False, repeat=False)
     batch = next(numpy_iterator(ds)).reshape(-1, 4, 4, 3)
     assert batch.max() <= 1.0 and batch.dtype == np.float32
+
+
+def test_tfrecord_dataset_roundtrip(tmp_path):
+    """Write records in the reference FFHQ format ({'shape' int64[3] CHW,
+    'data' raw uint8 bytes}, datasets.py:151-171) and read them back."""
+    import tensorflow as tf
+
+    from dpm_solver_tpu.data import tfrecord_dataset
+
+    rs = np.random.RandomState(0)
+    imgs = rs.randint(0, 256, (4, 3, 8, 8), np.uint8)  # CHW like the ref
+    path = str(tmp_path / "data.tfrecords")
+    with tf.io.TFRecordWriter(path) as w:
+        for img in imgs:
+            ex = tf.train.Example(features=tf.train.Features(feature={
+                "shape": tf.train.Feature(int64_list=tf.train.Int64List(
+                    value=img.shape)),
+                "data": tf.train.Feature(bytes_list=tf.train.BytesList(
+                    value=[img.tobytes()]))}))
+            w.write(ex.SerializeToString())
+
+    ds = tfrecord_dataset(path, resolution=0, batch_size=4, shuffle=False,
+                          repeat=False)
+    batch = next(iter(ds)).numpy()
+    assert batch.shape == (4, 8, 8, 3)
+    expect = imgs.transpose(0, 2, 3, 1).astype(np.float32) / 255.0
+    np.testing.assert_allclose(batch, expect, atol=1e-6)
