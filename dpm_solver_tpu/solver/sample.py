@@ -225,6 +225,48 @@ def make_plan(
     raise ValueError(f"make_plan supports fixed-grid methods, got {method!r}")
 
 
+def _jit_hoisting_constants(fn, x, rng):
+    """jit `fn(x, rng=...)` with closed-over arrays passed as ARGUMENTS.
+
+    The reference-compatible API closes the solver over `model_fn` — and with
+    it the model parameters. Closed-over concrete arrays are embedded in the
+    lowered HLO as dense constants (a 116M-param UNet inflates the serialized
+    program by ~600 MB), which blows up compile memory/time and exceeds
+    remote-compile payload limits. Tracing to a jaxpr and re-feeding
+    `jaxpr.consts` through `eval_jaxpr` keeps the weights device-resident jit
+    arguments while preserving the closure API. (jax.closure_convert does NOT
+    do this: it only hoists traced values, not concrete arrays.)
+    """
+    from jax import core as jcore
+
+    out_tree = [None]
+
+    if rng is None:
+        def flat_fn(xx):
+            out = fn(xx)
+            flat, out_tree[0] = jax.tree_util.tree_flatten(out)
+            return flat
+
+        closed = jax.make_jaxpr(flat_fn)(x)
+        consts = closed.consts
+        jfn = jax.jit(lambda xx, *cs: jcore.eval_jaxpr(closed.jaxpr, cs, xx))
+        tree = out_tree[0]
+        return lambda xx, rng=None: jax.tree_util.tree_unflatten(
+            tree, jfn(xx, *consts))
+
+    def flat_fn(xx, rr):
+        out = fn(xx, rng=rr)
+        flat, out_tree[0] = jax.tree_util.tree_flatten(out)
+        return flat
+
+    closed = jax.make_jaxpr(flat_fn)(x, rng)
+    consts = closed.consts
+    jfn = jax.jit(lambda xx, rr, *cs: jcore.eval_jaxpr(closed.jaxpr, cs, xx, rr))
+    tree = out_tree[0]
+    return lambda xx, rng: jax.tree_util.tree_unflatten(
+        tree, jfn(xx, rng, *consts))
+
+
 def build_sampler(
     model_fn: Callable,
     ns: NoiseScheduleVP,
@@ -401,7 +443,7 @@ class DPM_Solver:
                 return_intermediate=return_intermediate,
             )
             if jit:
-                fn = jax.jit(fn)
+                fn = _jit_hoisting_constants(fn, x, rng)
             self._compiled_cache[key] = fn
         return fn(x, rng=rng)
 

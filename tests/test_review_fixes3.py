@@ -211,3 +211,39 @@ def test_tfrecord_dataset_roundtrip(tmp_path):
     assert batch.shape == (4, 8, 8, 3)
     expect = imgs.transpose(0, 2, 3, 1).astype(np.float32) / 255.0
     np.testing.assert_allclose(batch, expect, atol=1e-6)
+
+
+def test_jit_hoisting_keeps_weights_out_of_the_program():
+    """Closed-over weights must ride as jit ARGUMENTS, not HLO constants:
+    a 4 MB weight embedded as a dense constant would inflate the lowered
+    text past the payload limits that broke 100M+-param models."""
+    from dpm_solver_tpu import NoiseScheduleVP, model_wrapper
+    from dpm_solver_tpu.solver.sample import _jit_hoisting_constants
+
+    w = jnp.asarray(np.random.RandomState(0).rand(1024, 1024), jnp.float32)
+    ns = NoiseScheduleVP.linear()
+    mf = model_wrapper(
+        lambda x, t: -0.1 * x + 0.0 * jnp.tanh(
+            x.reshape(x.shape[0], -1)
+            @ w[: x[0].size, : x[0].size]).reshape(x.shape),
+        ns)
+    from dpm_solver_tpu.solver.sample import execute_plan, make_plan
+    from functools import partial
+
+    plan = make_plan(ns, steps=5, order=2, method="multistep")
+    fn = partial(execute_plan, mf, plan, predict_x0=True,
+                 correcting_x0_fn=None, correcting_xt_fn=None,
+                 return_intermediate=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    hoisted = _jit_hoisting_constants(fn, x, None)
+    np.testing.assert_allclose(np.asarray(hoisted(x)), np.asarray(fn(x)),
+                               rtol=1e-6, atol=1e-6)
+
+    closed = jax.make_jaxpr(lambda xx: fn(xx))(x)
+    assert any(np.size(c) >= 1024 * 1024 for c in closed.consts), \
+        "expected the weight to be a jaxpr const (the thing we hoist)"
+    # and the hoisted program itself must be small
+    from jax import core as jcore
+    jfn = jax.jit(lambda xx, *cs: jcore.eval_jaxpr(closed.jaxpr, cs, xx))
+    txt_len = len(jfn.lower(x, *closed.consts).as_text())
+    assert txt_len < 2_000_000, f"lowered text {txt_len/1e6:.1f} MB — weights embedded?"
