@@ -128,5 +128,9 @@ def adaptive_sample(
         return x, nfe
 
     if jit:
-        run = jax.jit(run)
+        # keep closed-over model weights out of the HLO (see
+        # sample._jit_hoisting_constants)
+        from dpm_solver_tpu.solver.sample import _jit_hoisting_constants
+
+        run = _jit_hoisting_constants(run, x, None)
     return run(x)
