@@ -58,20 +58,39 @@ def make_sharded_sampler(
     """jit `sample_fn(x, rng) -> x0` with the batch sharded over the mesh.
 
     `sample_fn` is a pure trajectory closure from `build_sampler` (model
-    params already bound, replicated by closure constant-folding) — the whole
-    multi-NFE trajectory stays one XLA program per chip with zero collectives.
+    params already bound) — the whole multi-NFE trajectory stays one XLA
+    program per chip with zero collectives. Closed-over weights are hoisted
+    to replicated jit arguments (embedded dense constants would inflate the
+    program by the full parameter size; see sample._jit_hoisting_constants).
     """
-    data_in = batch_sharding(mesh, axis)
+    from jax import core as jcore
 
-    fn = jax.jit(
-        sample_fn,
-        in_shardings=(data_in, None),
-        out_shardings=data_in,
-        donate_argnums=(0,) if donate_x else (),
-    )
+    data_in = batch_sharding(mesh, axis)
+    cache = {}
+
+    def _build(x, rng):
+        out_tree = [None]
+
+        def flat_fn(xx, rr):
+            flat, out_tree[0] = jax.tree_util.tree_flatten(sample_fn(xx, rr))
+            return flat
+
+        closed = jax.make_jaxpr(flat_fn)(x, rng)
+        jfn = jax.jit(
+            lambda xx, rr, *cs: jcore.eval_jaxpr(closed.jaxpr, cs, xx, rr),
+            in_shardings=(data_in, None) + (None,) * len(closed.consts),
+            out_shardings=data_in,
+            donate_argnums=(0,) if donate_x else (),
+        )
+        return jfn, closed.consts, out_tree[0]
 
     def sampler(x, rng=None):
         x = jax.device_put(x, data_in)
-        return fn(x, rng)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        key = (x.shape, str(x.dtype))
+        if key not in cache:
+            cache[key] = _build(x, rng)
+        jfn, consts, tree = cache[key]
+        return jax.tree_util.tree_unflatten(tree, jfn(x, rng, *consts))
 
     return sampler
