@@ -45,8 +45,10 @@ def build_model():
 def _sync(out):
     """Force real device completion: through the tunneled axon backend
     `block_until_ready` returns before execution finishes, so fetch a
-    scalar — the device queue is serial, so this waits for everything."""
-    return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    scalar — the device queue is serial, so this waits for everything.
+    The slice/ravel run ON DEVICE (np.asarray of the full output would
+    add the whole array's tunnel-transfer time to the measurement)."""
+    return float(jax.tree.leaves(out)[0].ravel()[0])
 
 
 def time_fn(fn, *args, reps=REPS):

@@ -133,9 +133,13 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
     qh, kh, vh = split(q, t), split(k, s), split(v, s)
     if use_pallas is None:
         fits = (s + (-s % _BLOCK_Q)) * max(dh, 128) * 4 * 2 < 8_000_000
-        # measured on v5e (bf16, T=4096): 1.6x faster at dh=40, ~15% slower
-        # at dh >= 64 where XLA's fusion already saturates HBM
-        use_pallas = (jax.default_backend() == "tpu" and fits and dh < 64)
+        # measured on v5e (bf16, device-side-scalar sync): pallas is
+        # 1.2-1.7x XLA whenever the key length makes the logits panel wide
+        # (self-attention S >= 1024, any dh 40-160) or the head dim is large
+        # (dh >= 128 at any S); XLA wins for short-key cross-attention
+        # (S=77) and small-dh short-S self-attention
+        use_pallas = (jax.default_backend() == "tpu" and fits
+                      and (s >= 1024 or dh >= 128))
     if use_pallas or interpret:
         out = fused_attention(qh, kh, vh, scale, _BLOCK_Q, interpret)
     else:
