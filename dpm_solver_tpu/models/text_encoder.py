@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Callable, List, Optional, Sequence, Union
 
+import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,3 +87,86 @@ class ClassEmbedder:
     def __call__(self, labels):
         labels = jnp.asarray(labels, jnp.int32)
         return self._module.apply(self.params, labels)[:, None, :]
+
+
+class BERTEmbedder(nn.Module):
+    """Legacy LDM text encoder: a from-scratch transformer over BERT tokens
+    (ref ldm/modules/encoders/modules.py:80-101 over x_transformer.py with
+    Encoder defaults: pre-LN, 8 heads of 64, bias-free qkv, GELU FF x4,
+    learned absolute positions, final LayerNorm, return_embeddings).
+
+    Tokenization is external (pass token ids); the reference uses a
+    HuggingFace BertTokenizerFast (vocab 30522).
+    """
+
+    n_embed: int
+    n_layer: int
+    vocab_size: int = 30522
+    max_seq_len: int = 77
+    num_heads: int = 8
+    head_dim: int = 64
+
+    @nn.compact
+    def __call__(self, tokens, *, deterministic: bool = True):
+        d = self.n_embed
+        inner = self.num_heads * self.head_dim
+        x = nn.Embed(self.vocab_size, d, name="token_emb")(tokens)
+        pos = nn.Embed(self.max_seq_len, d, name="pos_emb")(
+            jnp.arange(tokens.shape[1]))
+        x = x + pos[None]
+        for i in range(self.n_layer):
+            h = nn.LayerNorm(epsilon=1e-5, name=f"attn_norm_{i}")(x)
+            q = nn.Dense(inner, use_bias=False, name=f"to_q_{i}")(h)
+            k = nn.Dense(inner, use_bias=False, name=f"to_k_{i}")(h)
+            v = nn.Dense(inner, use_bias=False, name=f"to_v_{i}")(h)
+            from dpm_solver_tpu.ops.attention import token_attention
+
+            a = token_attention(q, k, v, num_heads=self.num_heads)
+            x = x + nn.Dense(d, name=f"to_out_{i}")(a)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ff_norm_{i}")(x)
+            h = nn.gelu(nn.Dense(4 * d, name=f"ff_in_{i}")(h),
+                        approximate=False)
+            x = x + nn.Dense(d, name=f"ff_out_{i}")(h)
+        return nn.LayerNorm(epsilon=1e-5, name="final_norm")(x)
+
+
+def convert_bert_embedder(state_dict, n_layer: int):
+    """x_transformer TransformerWrapper torch weights -> BERTEmbedder params.
+
+    Key layout (ref x_transformer.py:548-641): transformer.token_emb,
+    transformer.pos_emb.emb, transformer.attn_layers.layers.{2i}.1.{to_q,...}
+    (attention blocks at even indices, ff at odd; each wrapped with a .0
+    pre-norm), transformer.norm.
+    """
+    import numpy as np
+
+    # inside BERTEmbedder the wrapper lives under "transformer."; a bare
+    # TransformerWrapper state dict has no prefix
+    pre = "transformer." if any(k.startswith("transformer.")
+                                for k in state_dict) else ""
+
+    def t(k):
+        return np.asarray(state_dict[k if pre else k[len("transformer."):]])
+
+    p = {
+        "token_emb": {"embedding": t("transformer.token_emb.weight")},
+        "pos_emb": {"embedding": t("transformer.pos_emb.emb.weight")},
+        "final_norm": {"scale": t("transformer.norm.weight"),
+                       "bias": t("transformer.norm.bias")},
+    }
+    for i in range(n_layer):
+        a = f"transformer.attn_layers.layers.{2 * i}"
+        f = f"transformer.attn_layers.layers.{2 * i + 1}"
+        p[f"attn_norm_{i}"] = {"scale": t(f"{a}.0.weight"),
+                               "bias": t(f"{a}.0.bias")}
+        for name in ("to_q", "to_k", "to_v"):
+            p[f"{name}_{i}"] = {"kernel": t(f"{a}.1.{name}.weight").T}
+        p[f"to_out_{i}"] = {"kernel": t(f"{a}.1.to_out.weight").T,
+                            "bias": t(f"{a}.1.to_out.bias")}
+        p[f"ff_norm_{i}"] = {"scale": t(f"{f}.0.weight"),
+                             "bias": t(f"{f}.0.bias")}
+        p[f"ff_in_{i}"] = {"kernel": t(f"{f}.1.net.0.0.weight").T,
+                           "bias": t(f"{f}.1.net.0.0.bias")}
+        p[f"ff_out_{i}"] = {"kernel": t(f"{f}.1.net.2.weight").T,
+                            "bias": t(f"{f}.1.net.2.bias")}
+    return {"params": p}

@@ -204,3 +204,37 @@ def test_inpaint_end_to_end():
                                   orig[np.broadcast_to(keep, out.shape)])
     changed = np.abs(out - orig)[np.broadcast_to(~keep, out.shape)]
     assert changed.mean() > 1e-3  # the hole actually got regenerated
+
+
+@requires_reference
+def test_bert_embedder_matches_x_transformer():
+    """Our BERTEmbedder (legacy LDM text encoder) must match the reference
+    TransformerWrapper+Encoder with default settings
+    (x_transformer.py:541-641) on converted weights."""
+    import torch
+
+    sd_dir = str(REFERENCE_ROOT / "examples" / "stable-diffusion")
+    if sd_dir not in sys.path:
+        sys.path.insert(0, sd_dir)
+    from ldm.modules.x_transformer import Encoder, TransformerWrapper
+
+    from dpm_solver_tpu.models.text_encoder import (
+        BERTEmbedder,
+        convert_bert_embedder,
+    )
+
+    dim, depth, vocab, seq = 64, 2, 100, 12
+    torch.manual_seed(0)
+    ref = TransformerWrapper(num_tokens=vocab, max_seq_len=seq,
+                             attn_layers=Encoder(dim=dim, depth=depth))
+    ref.eval()
+    tokens = np.random.RandomState(0).randint(0, vocab, (3, seq))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(tokens), return_embeddings=True).numpy()
+
+    ours = BERTEmbedder(n_embed=dim, n_layer=depth, vocab_size=vocab,
+                        max_seq_len=seq)
+    params = convert_bert_embedder(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, depth)
+    got = np.asarray(ours.apply(params, jnp.asarray(tokens)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
