@@ -153,6 +153,10 @@ def cmd_train(args):
     from dpm_solver_tpu.run_lib import train
 
     config = get_config(args.config, workdir=args.workdir)
+    if args.batch_size:
+        config = dataclasses.replace(
+            config, training=dataclasses.replace(
+                config.training, batch_size=args.batch_size))
     if args.data_path and os.path.isdir(args.data_path) and \
             config.data.dataset == "cifar10":
         images = load_cifar10_dir(args.data_path)
@@ -282,6 +286,12 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     p = argparse.ArgumentParser(prog="dpm_solver_tpu")
+    p.add_argument("--compile-cache", default=os.environ.get(
+        "DPM_SOLVER_TPU_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/dpm_solver_tpu/xla")),
+        help="persistent XLA compilation cache dir ('' disables); first "
+             "compile of a big UNet takes minutes, cached reloads take "
+             "seconds")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("sample", help="DPM-Solver sampling from a config")
@@ -299,6 +309,8 @@ def main(argv=None):
     tp.add_argument("--workdir", default="./workdir")
     tp.add_argument("--data-path", default=None)
     tp.add_argument("--max-steps", type=int, default=None)
+    tp.add_argument("--batch-size", type=int, default=None,
+                    help="override the config's training batch size")
     tp.set_defaults(fn=cmd_train)
 
     ep = sub.add_parser("eval")
@@ -347,6 +359,12 @@ def main(argv=None):
         .list_configs())))
 
     args = p.parse_args(argv)
+    if args.compile_cache:
+        import jax
+
+        os.makedirs(args.compile_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args.fn(args)
 
 
