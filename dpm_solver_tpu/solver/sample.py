@@ -425,7 +425,7 @@ class DPM_Solver:
         key = (
             steps, t_start, t_end, order, skip_type, method, lower_order_final,
             denoise_to_zero, solver_type, return_intermediate, x.shape,
-            str(x.dtype), jit,
+            str(x.dtype), jit, rng is None,
         )
         fn = self._compiled_cache.get(key)
         if fn is None:
