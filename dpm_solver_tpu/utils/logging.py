@@ -22,13 +22,22 @@ import numpy as np
 
 
 class MetricWriter:
-    """Scalars to JSONL (always) + TensorBoard (if tensorflow is present).
+    """Scalars to JSONL (always) + optional CSV / stdout / TensorBoard.
 
-    JSONL is the machine-readable ground truth; TB is the human view."""
+    The format set mirrors the reference KV logger's human/JSON/CSV/TB
+    writers (guided_diffusion/logger.py:26-490, sans the MPI plumbing — a
+    single-controller JAX program has one writer). JSONL is the
+    machine-readable ground truth; the CSV re-writes its header when new
+    keys appear, like the reference's CSVOutputFormat (:121-150)."""
 
-    def __init__(self, logdir: str, *, tensorboard: bool = True):
+    def __init__(self, logdir: str, *, tensorboard: bool = True,
+                 csv: bool = False, stdout: bool = False):
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
+        self._csv_path = os.path.join(logdir, "metrics.csv") if csv else None
+        self._csv_keys = []
+        self._csv_rows = []
+        self._stdout = stdout
         self._tb = None
         if tensorboard:
             try:
@@ -38,11 +47,28 @@ class MetricWriter:
             except ImportError:
                 pass
 
+    def _write_csv(self) -> None:
+        with open(self._csv_path, "w") as f:
+            f.write(",".join(["step"] + self._csv_keys) + "\n")
+            for row in self._csv_rows:
+                f.write(",".join(str(row.get(k, "")) for k in
+                                 ["step"] + self._csv_keys) + "\n")
+
     def write(self, step: int, **scalars) -> None:
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
+        if self._csv_path is not None:
+            new_keys = [k for k in scalars if k not in self._csv_keys]
+            self._csv_keys.extend(sorted(new_keys))
+            self._csv_rows.append({"step": int(step),
+                                   **{k: float(v) for k, v in scalars.items()}})
+            self._write_csv()
+        if self._stdout:
+            kv = " | ".join(f"{k} {float(v):.6g}"
+                            for k, v in sorted(scalars.items()))
+            print(f"step {int(step):>9} | {kv}", flush=True)
         if self._tb is not None:
             import tensorflow as tf
 

@@ -90,3 +90,18 @@ def test_wall_timer():
     with wall_timer() as t:
         sum(range(1000))
     assert t["seconds"] >= 0.0
+
+
+def test_metric_writer_csv_and_stdout(tmp_path, capsys):
+    """CSV header re-written as new keys appear (reference CSVOutputFormat
+    semantics, logger.py:121-150); stdout human format."""
+    w = MetricWriter(str(tmp_path), tensorboard=False, csv=True, stdout=True)
+    w.write(1, loss=0.5)
+    w.write(2, loss=0.25, fid=9.0)
+    w.close()
+    lines = open(tmp_path / "metrics.csv").read().splitlines()
+    assert lines[0] == "step,loss,fid"  # keys extend in arrival order
+    assert lines[1].split(",") == ["1", "0.5", ""]
+    assert lines[2].split(",") == ["2", "0.25", "9.0"]
+    out = capsys.readouterr().out
+    assert "loss 0.5" in out and "fid 9" in out
