@@ -179,6 +179,13 @@ def cmd_eval(args):
     from dpm_solver_tpu.run_lib import build_model, evaluate
 
     config = get_config(args.config, workdir=args.workdir)
+    if args.batch_size:
+        config = dataclasses.replace(
+            config, eval=dataclasses.replace(config.eval,
+                                             batch_size=args.batch_size))
+    if args.bpd_rounds:
+        config = dataclasses.replace(
+            config, eval=dataclasses.replace(config.eval, enable_bpd=True))
     model, _ = build_model(config)
     scfg = config.sampling
     n_classes = getattr(config.model_config, "num_classes", None)
@@ -210,8 +217,55 @@ def cmd_eval(args):
             load_torch_state_dict(config.eval.inception_ckpt_path))
         feature_fn = make_feature_fn(params)
 
+    # loss / bits-per-dim hooks need eval DATA (ref run_lib.py:253-311);
+    # only wired when --data-path is given and the config is a continuous
+    # score model
+    loss_fn = bpd_fn = None
+    if args.data_path and config.training.continuous:
+        from dpm_solver_tpu.data import make_dataset, numpy_iterator
+        from dpm_solver_tpu.likelihood import get_likelihood_fn
+        from dpm_solver_tpu.run_lib import _make_sde
+        from dpm_solver_tpu.score import get_score_fn
+        from dpm_solver_tpu.training.losses import sde_loss_fn
+
+        images = np.load(args.data_path)["images"]
+        ds = make_dataset(images, batch_size=config.eval.batch_size,
+                          num_local_devices=1, random_flip=False,
+                          centered=config.data.centered,
+                          uniform_dequantization=True, shuffle=True)
+        data_iter = numpy_iterator(ds)
+
+        def _batch():
+            b = next(data_iter)
+            import jax.numpy as jnp
+
+            return jnp.asarray(b).reshape((-1,) + b.shape[-3:])
+
+        sde = _make_sde(config)
+
+        def _score(state):
+            return get_score_fn(
+                sde, lambda x, t: model.apply(state.ema_params, x, t,
+                                              deterministic=True),
+                continuous=True)
+
+        def loss_fn(state, rng):
+            fn = sde_loss_fn(sde, lambda p, x, t: get_score_fn(
+                sde, lambda xx, tt: model.apply(p, xx, tt,
+                                                deterministic=True),
+                continuous=True)(x, t), reduce_mean=config.training.reduce_mean)
+            return fn(state.ema_params, _batch(), rng)
+
+        def bpd_fn(state, rng):
+            lf = get_likelihood_fn(
+                sde, _score(state),
+                inverse_scaler_grad=0.5 if config.data.centered else 1.0)
+            return lf(rng, _batch())[0]
+
     results = evaluate(config, workdir=args.workdir, sample_fn=sample_fn,
-                       feature_fn=feature_fn, rounds=args.rounds)
+                       feature_fn=feature_fn, rounds=args.rounds,
+                       loss_fn=loss_fn, bpd_fn=bpd_fn,
+                       bpd_rounds=args.bpd_rounds)
     print(results)
 
 
@@ -317,6 +371,11 @@ def main(argv=None):
     ep.add_argument("--config", required=True)
     ep.add_argument("--workdir", default="./workdir")
     ep.add_argument("--rounds", type=int, default=None)
+    ep.add_argument("--data-path", default=None,
+                    help="npz with 'images' for eval loss / bits-per-dim")
+    ep.add_argument("--bpd-rounds", type=int, default=0)
+    ep.add_argument("--batch-size", type=int, default=None,
+                    help="override the config's eval batch size")
     ep.set_defaults(fn=cmd_eval)
 
     xp = sub.add_parser("txt2img")
