@@ -310,6 +310,25 @@ def _score_sde_vp() -> Config:
     )
 
 
+@register_config("tiny_test")
+def _tiny_test() -> Config:
+    """Small DDPM UNet at 16px: smoke tests, docs examples, CI."""
+    from dpm_solver_tpu.models import DDPMUNetConfig
+
+    return Config(
+        name="tiny_test", model_family="ddpm_unet",
+        model_config=DDPMUNetConfig.tiny(resolution=16),
+        data=DataConfig(dataset="arrays", image_size=16, centered=True),
+        sampling=SamplingConfig(order=2, steps=6, skip_type="time_uniform",
+                                method="multistep"),
+        training=TrainingConfig(batch_size=8, n_iters=10, warmup=2,
+                                snapshot_freq=2,
+                                snapshot_freq_for_preemption=2, log_freq=1),
+        eval=EvalConfig(batch_size=4, num_samples=4, begin_ckpt=1,
+                        end_ckpt=100),
+    )
+
+
 @register_config("sd_v1")
 def _sd_v1() -> Config:
     """Stable Diffusion v1: CFG 7.5, 25 steps, multistep order-2
