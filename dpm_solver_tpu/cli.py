@@ -336,6 +336,28 @@ def cmd_inpaint(args):
     print(f"wrote {args.batch} images to {args.outdir}")
 
 
+def cmd_clscond(args):
+    """Class-conditional LDM sampling (ref scripts/sample_diffusion.py)."""
+    import jax
+
+    from dpm_solver_tpu.models.text_encoder import ClassEmbedder
+    from dpm_solver_tpu.pipelines import (
+        class_conditional_sample,
+        load_sd_checkpoint,
+    )
+
+    ldm = load_sd_checkpoint(args.ckpt)
+    labels = np.asarray([int(c) for c in args.classes.split(",")], np.int64)
+    embedder = ClassEmbedder(args.num_classes + 1, args.embed_dim)
+    imgs = class_conditional_sample(
+        ldm, embedder, labels, steps=args.steps,
+        guidance_scale=args.scale,
+        uncond_label=args.num_classes if args.scale != 1.0 else None,
+        rng=jax.random.PRNGKey(args.seed))
+    _save_images(np.asarray(imgs), args.outdir, prefix="clscond")
+    print(f"wrote {len(labels)} images to {args.outdir}")
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
@@ -411,6 +433,18 @@ def main(argv=None):
         gp.add_argument("--seed", type=int, default=42)
         gp.add_argument("--outdir", default="./outputs")
         gp.set_defaults(fn=fn)
+
+    cp = sub.add_parser("clscond", help="class-conditional LDM sampling")
+    cp.add_argument("--ckpt", required=True)
+    cp.add_argument("--classes", required=True,
+                    help="comma-separated class ids, one image each")
+    cp.add_argument("--num-classes", type=int, default=1000)
+    cp.add_argument("--embed-dim", type=int, default=512)
+    cp.add_argument("--steps", type=int, default=20)
+    cp.add_argument("--scale", type=float, default=1.5)
+    cp.add_argument("--seed", type=int, default=42)
+    cp.add_argument("--outdir", default="./outputs")
+    cp.set_defaults(fn=cmd_clscond)
 
     lp = sub.add_parser("configs", help="list registered configs")
     lp.set_defaults(fn=lambda a: print("\n".join(

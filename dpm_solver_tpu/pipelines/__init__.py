@@ -2,6 +2,7 @@ from dpm_solver_tpu.pipelines.stable_diffusion import (
     DPMSolverSampler,
     LatentDiffusion,
     StableDiffusionPipeline,
+    class_conditional_sample,
     load_sd_checkpoint,
     make_ldm_betas,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "DPMSolverSampler",
     "LatentDiffusion",
     "StableDiffusionPipeline",
+    "class_conditional_sample",
     "load_sd_checkpoint",
     "make_ldm_betas",
 ]
