@@ -50,3 +50,48 @@ def test_cli_sample_random_weights(tmp_path):
 def test_cli_unknown_config_error():
     with pytest.raises(KeyError, match="unknown config"):
         main(["sample", "--config", "nope", "--batch", "1"])
+
+
+def test_build_sampler_classifier_guidance():
+    """The classifier-guided solver assembly (cmd_sample --classifier-ckpt
+    path, ref runners/diffusion.py:594-639): class labels + classifier
+    log-prob gradient folded into the eps prediction."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dpm_solver_tpu.cli import _build_sampler_from_config
+    from dpm_solver_tpu.configs import get_config
+    from dpm_solver_tpu.models import ADMClassifier, ADMConfig, ADMUNet
+
+    mc = ADMConfig.tiny(num_classes=4, out_channels=6)  # learned-sigma split
+    cc = ADMConfig.tiny(num_classes=None, out_channels=4,
+                        pool="attention", num_head_channels=16)
+    config = dataclasses.replace(
+        get_config("imagenet64_iddpm"), model_config=mc, classifier_config=cc,
+        data=dataclasses.replace(get_config("imagenet64_iddpm").data,
+                                 image_size=16),
+        sampling=dataclasses.replace(
+            get_config("imagenet64_iddpm").sampling, classifier_scale=2.0,
+            steps=4, order=2))
+
+    model = ADMUNet(config=mc)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.ones((2,))
+    y = jnp.zeros((2,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t, y, deterministic=True)
+    classifier = ADMClassifier(config=cc)
+    cparams = classifier.init(jax.random.PRNGKey(1), x, t, deterministic=True)
+
+    labels = jnp.asarray([1, 3])
+    solver, ns = _build_sampler_from_config(
+        config, params, model, labels=labels, classifier=classifier,
+        classifier_params=cparams)
+    out = solver.sample(jax.random.normal(jax.random.PRNGKey(2), x.shape),
+                        steps=4, order=2, method="multistep", t_end=1e-3)
+    out = np.asarray(out)
+    assert out.shape == x.shape and np.isfinite(out).all()
+    # the cosine/4000 table flowed through (not the hardcoded linear one)
+    assert ns.total_N < 4000  # clip drops tail entries of the cosine table
+    assert ns.total_N > 3000
