@@ -1,3 +1,5 @@
+from dpm_solver_tpu.pipelines.cascade import CascadePipeline, CascadeStage
+from dpm_solver_tpu.pipelines.diffedit import compute_edit_mask, diffedit
 from dpm_solver_tpu.pipelines.stable_diffusion import (
     DPMSolverSampler,
     LatentDiffusion,
@@ -8,10 +10,14 @@ from dpm_solver_tpu.pipelines.stable_diffusion import (
 )
 
 __all__ = [
+    "CascadePipeline",
+    "CascadeStage",
     "DPMSolverSampler",
     "LatentDiffusion",
     "StableDiffusionPipeline",
     "class_conditional_sample",
+    "compute_edit_mask",
+    "diffedit",
     "load_sd_checkpoint",
     "make_ldm_betas",
 ]
