@@ -19,18 +19,29 @@ from typing import Dict, Mapping
 import numpy as np
 
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+def load_torch_state_dict(path: str, *,
+                          prefer_ema: bool = True) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint file into a flat {name: np.ndarray} dict.
 
     Handles the reference's list-style checkpoints
     (runners/diffusion.py: torch.save([model_sd, opt_sd, epoch, step, ema_sd]))
-    as well as plain state dicts and {'state_dict': ...} wrappers.
+    as well as plain state dicts and {'state_dict': ...} wrappers. For
+    list checkpoints the EMA shadow (the trailing dict) is overlaid on the
+    raw weights by default — the reference samples from EMA weights when
+    `model.ema` is set (runners/diffusion.py:337-341); pass
+    `prefer_ema=False` for the raw training weights.
     """
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, (list, tuple)):
-        obj = obj[0]
+        dicts = [x for x in obj if isinstance(x, Mapping)
+                 and any(hasattr(v, "detach") for v in x.values())]
+        base = dict(dicts[0]) if dicts else {}
+        if prefer_ema and len(dicts) > 1:
+            # EMA shadows hold parameters only (no buffers): overlay
+            base.update(dicts[-1])
+        obj = base
     if isinstance(obj, Mapping) and "state_dict" in obj:
         obj = obj["state_dict"]
     out = {}

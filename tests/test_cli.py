@@ -95,3 +95,26 @@ def test_build_sampler_classifier_guidance():
     # the cosine/4000 table flowed through (not the hardcoded linear one)
     assert ns.total_N < 4000  # clip drops tail entries of the cosine table
     assert ns.total_N > 3000
+
+
+def test_load_torch_state_dict_prefers_ema(tmp_path):
+    """Reference list checkpoints [model, opt, epoch, step, ema]: the EMA
+    shadow must win by default (the reference samples from EMA weights,
+    runners/diffusion.py:337-341)."""
+    import torch
+
+    from dpm_solver_tpu.utils.convert import load_torch_state_dict
+
+    lin = torch.nn.Linear(2, 2)
+    raw = {k: v.clone() for k, v in lin.state_dict().items()}
+    ema = {k: v + 1.0 for k, v in raw.items() if k.endswith("weight")}
+    opt = torch.optim.Adam(lin.parameters()).state_dict()
+    path = str(tmp_path / "ckpt.pth")
+    torch.save([raw, opt, 3, 1000, ema], path)
+
+    got = load_torch_state_dict(path)
+    np.testing.assert_allclose(got["weight"], ema["weight"].numpy())
+    np.testing.assert_allclose(got["bias"], raw["bias"].numpy())  # not in ema
+
+    got_raw = load_torch_state_dict(path, prefer_ema=False)
+    np.testing.assert_allclose(got_raw["weight"], raw["weight"].numpy())
