@@ -105,11 +105,20 @@ def cmd_sample(args):
             load_torch_state_dict,
         )
 
-        sd = load_torch_state_dict(args.ckpt)
-        if config.model_family == "ddpm_unet":
-            params = convert_ddpm_unet(sd)
+        if config.model_family == "ncsnpp":
+            # score_sde checkpoints are flax State files, not torch
+            from dpm_solver_tpu.models.ncsnpp_convert import (
+                load_score_sde_checkpoint,
+                params_from_reference,
+            )
+
+            params = params_from_reference(
+                load_score_sde_checkpoint(args.ckpt), config.model_config)
+        elif config.model_family == "ddpm_unet":
+            params = convert_ddpm_unet(load_torch_state_dict(args.ckpt))
         else:
-            params = convert_adm_unet(sd, config.model_config)
+            params = convert_adm_unet(load_torch_state_dict(args.ckpt),
+                                      config.model_config)
     else:
         logging.warning("no --ckpt given; sampling from RANDOM weights")
         params = init_fn(jax.random.PRNGKey(config.seed))

@@ -144,3 +144,27 @@ def params_from_reference(ref_params: Mapping, cfg: NCSNppConfig) -> dict:
 
     out = {k: v for k, v in out.items() if v is not None}
     return {"params": out}
+
+
+def load_score_sde_checkpoint(path: str):
+    """score_sde_jax flax checkpoint file -> the reference EMA params tree.
+
+    The reference saves its `State` dataclass (models/utils.py:32-40) via
+    flax.training.checkpoints; the raw file is msgpack of the State pytree.
+    Sampling uses the EMA parameters (`params_ema`, run_lib.py:389-398);
+    falls back to the optimizer target when a checkpoint lacks them.
+    Feed the result to :func:`params_from_reference`.
+    """
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    if "params_ema" in tree:
+        return tree["params_ema"]
+    opt = tree.get("optimizer", {})
+    for key in ("target", "params"):
+        if isinstance(opt, dict) and key in opt:
+            node = opt[key]
+            return node.get("params", node) if isinstance(node, dict) else node
+    raise ValueError(f"unrecognized score_sde checkpoint structure: "
+                     f"{sorted(tree)[:8]}")

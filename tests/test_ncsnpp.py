@@ -185,3 +185,32 @@ def test_fused_bias_act_grads():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(db1), np.asarray(db2), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_load_score_sde_checkpoint_roundtrip(tmp_path):
+    """Flax State msgpack -> params_ema extraction (run_lib samples from the
+    EMA params, run_lib.py:389-398), with the optimizer-target fallback."""
+    import numpy as np
+    from flax import serialization
+
+    from dpm_solver_tpu.models.ncsnpp_convert import load_score_sde_checkpoint
+
+    tree = {"params": {"Conv_0": {"kernel": np.arange(12.0).reshape(3, 4),
+                                  "bias": np.zeros(4)}}}
+    state = {"step": np.int32(7), "lr": np.float32(2e-4),
+             "optimizer": {"target": {"params": {"Conv_0": {
+                 "kernel": np.ones((3, 4)), "bias": np.ones(4)}}}},
+             "params_ema": tree}
+    p = str(tmp_path / "checkpoint_8")
+    with open(p, "wb") as f:
+        f.write(serialization.msgpack_serialize(state))
+    got = load_score_sde_checkpoint(p)
+    np.testing.assert_array_equal(got["params"]["Conv_0"]["kernel"],
+                                  tree["params"]["Conv_0"]["kernel"])
+
+    # fallback: no params_ema -> optimizer target
+    del state["params_ema"]
+    with open(p, "wb") as f:
+        f.write(serialization.msgpack_serialize(state))
+    got = load_score_sde_checkpoint(p)
+    np.testing.assert_array_equal(got["Conv_0"]["bias"], np.ones(4))
