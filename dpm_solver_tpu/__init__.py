@@ -12,7 +12,12 @@ Public API (mirrors the reference's three symbols, plus the functional layer):
     DPM_Solver        -- solver object with .sample/.inverse  (solver/)
 """
 
-from dpm_solver_tpu.schedule import NoiseScheduleVP, interp_linear_extrap
+from dpm_solver_tpu.schedule import (
+    NoiseScheduleVP,
+    expand_dims,
+    interp_linear_extrap,
+    interpolate_fn,
+)
 from dpm_solver_tpu.solver import DPM_Solver, build_sampler
 from dpm_solver_tpu.wrapper import model_wrapper
 
@@ -20,7 +25,9 @@ __all__ = [
     "DPM_Solver",
     "NoiseScheduleVP",
     "build_sampler",
+    "expand_dims",
     "interp_linear_extrap",
+    "interpolate_fn",
     "model_wrapper",
 ]
 __version__ = "0.1.0"

@@ -297,3 +297,22 @@ class NoiseScheduleVP(metaclass=_RefCompatMeta):
                 / math.pi
                 - s
             )
+
+
+def interpolate_fn(x, xp, yp):
+    """Drop-in shim for the reference's batched keypoint interpolation
+    (dpm_solver_pytorch.py:1253-1292 / dpm_solver_jax.py:1125-1158):
+    x [N, C], xp/yp [C, K] -> [N, C], linear extrapolation at both ends.
+    Internally the vectorized-searchsorted form, vmapped over channels."""
+    x = jnp.asarray(x)
+    xp = jnp.asarray(xp)
+    yp = jnp.asarray(yp)
+    per_channel = jax.vmap(interp_linear_extrap, in_axes=(1, 0, 0), out_axes=1)
+    return per_channel(x, xp, yp)
+
+
+def expand_dims(v, dims: int):
+    """Reference helper (dpm_solver_pytorch.py:1295-1305): append trailing
+    singleton axes until `v` has `dims` dimensions total."""
+    v = jnp.asarray(v)
+    return v[(...,) + (None,) * (dims - v.ndim)]

@@ -196,3 +196,31 @@ def test_reference_style_constructor():
     leaves, td = jax.tree_util.tree_flatten(a)
     c = jax.tree_util.tree_unflatten(td, leaves)
     assert c.total_N == a.total_N
+
+
+@requires_reference
+def test_interpolate_fn_and_expand_dims_shims():
+    """The reference exports interpolate_fn ([N,C]x[C,K] batched keypoint
+    interpolation, dpm_solver_jax.py:1125-1158) and expand_dims
+    (dpm_solver_pytorch.py:1295-1305) as public helpers; ours must be
+    drop-in."""
+    import importlib.util
+
+    from dpm_solver_tpu import expand_dims, interpolate_fn
+
+    spec = importlib.util.spec_from_file_location(
+        "reference_dpm_solver_jax_helpers", "/root/reference/dpm_solver_jax.py")
+    rj = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rj)
+
+    rs = np.random.RandomState(0)
+    xp = jnp.asarray(np.sort(rs.rand(2, 9), axis=1))
+    yp = jnp.asarray(rs.rand(2, 9))
+    x = jnp.asarray(rs.rand(5, 2) * 1.6 - 0.3)  # incl. out-of-range queries
+    np.testing.assert_allclose(np.asarray(interpolate_fn(x, xp, yp)),
+                               np.asarray(rj.interpolate_fn(x, xp, yp)),
+                               rtol=1e-6, atol=1e-6)
+    v = jnp.asarray(rs.rand(4))
+    assert expand_dims(v, 4).shape == (4, 1, 1, 1)
+    np.testing.assert_array_equal(np.asarray(expand_dims(v, 4)).ravel(),
+                                  np.asarray(v))
