@@ -325,7 +325,19 @@ class DPM_Solver:
         correcting_xt_fn: Optional[Callable] = None,
         thresholding_max_val: float = 1.0,
         dynamic_thresholding_ratio: float = 0.995,
+        predict_x0: Optional[bool] = None,
+        thresholding: Optional[bool] = None,
+        max_val: Optional[float] = None,
     ):
+        # older-generation kwargs (dpm_solver_jax.py:351: DPM_Solver(model_fn,
+        # ns, predict_x0, thresholding, max_val)) map onto the new API so
+        # score_sde_jax-era call sites work unchanged
+        if predict_x0 is not None:
+            algorithm_type = "dpmsolver++" if predict_x0 else "dpmsolver"
+        if thresholding:
+            correcting_x0_fn = "dynamic_thresholding"
+        if max_val is not None:
+            thresholding_max_val = float(max_val)
         if algorithm_type not in U.ALGORITHM_TYPES:
             raise ValueError(
                 f"algorithm_type must be one of {U.ALGORITHM_TYPES}, got {algorithm_type!r}"
@@ -395,6 +407,8 @@ class DPM_Solver:
     ):
         if method not in METHODS:
             raise ValueError(f"method must be one of {METHODS}, got {method!r}")
+        # the older JAX API spells it 'dpm_solver' (dpm_solver_jax.py:541)
+        solver_type = {"dpm_solver": "dpmsolver"}.get(solver_type, solver_type)
         if method == "adaptive":
             if return_intermediate:
                 raise ValueError("cannot save intermediates with the adaptive solver")

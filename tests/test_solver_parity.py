@@ -314,3 +314,21 @@ def test_compiled_cache_respects_jit_flag():
     # the eager variant must NOT reuse the jitted executable: model_fn runs
     # again per step instead of zero times
     assert len(calls) > n_after_jit
+
+
+def test_old_generation_api_compat():
+    """The older JAX API (dpm_solver_jax.py:351,541) constructs
+    DPM_Solver(model_fn, ns, predict_x0, thresholding, max_val) and spells
+    solver_type='dpm_solver'; both must map onto the new API exactly."""
+    ns = NoiseScheduleVP.linear()
+    mf = model_wrapper(lambda x, t: -0.1 * x, ns)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    old = DPM_Solver(mf, ns, predict_x0=True, thresholding=True, max_val=1.0)
+    a = old.sample(x, steps=6, order=2, method="singlestep",
+                   solver_type="dpm_solver")
+    new = DPM_Solver(mf, ns, algorithm_type="dpmsolver++",
+                     correcting_x0_fn="dynamic_thresholding")
+    b = new.sample(x, steps=6, order=2, method="singlestep",
+                   solver_type="dpmsolver")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert DPM_Solver(mf, ns, predict_x0=False).algorithm_type == "dpmsolver"
