@@ -404,7 +404,10 @@ class DPM_Solver:
         return_intermediate: bool = False,
         rng: Optional[jax.Array] = None,
         jit: bool = True,
+        denoise: Optional[bool] = None,
     ):
+        if denoise is not None:  # older JAX kwarg (dpm_solver_jax.py:966-968)
+            denoise_to_zero = bool(denoise)
         if method not in METHODS:
             raise ValueError(f"method must be one of {METHODS}, got {method!r}")
         # the older JAX API spells it 'dpm_solver' (dpm_solver_jax.py:541)
