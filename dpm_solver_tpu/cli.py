@@ -166,6 +166,20 @@ def cmd_train(args):
         config = dataclasses.replace(
             config, training=dataclasses.replace(
                 config.training, batch_size=args.batch_size))
+    if args.data_path and (args.data_path.endswith(".mdb") or os.path.exists(
+            os.path.join(args.data_path, "data.mdb"))):
+        # LSUN-style LMDB environment (ref datasets/lsun.py) via the
+        # pure-Python reader — no lmdb C module in this image
+        from dpm_solver_tpu.data import lsun_dataset
+
+        ds = lsun_dataset(args.data_path,
+                          resolution=config.data.image_size,
+                          batch_size=config.training.batch_size,
+                          centered=config.data.centered)
+        state = train(config, numpy_iterator(ds), workdir=args.workdir,
+                      max_steps=args.max_steps)
+        print(f"finished at step {int(state.step)}")
+        return
     if args.data_path and os.path.isdir(args.data_path) and \
             config.data.dataset == "cifar10":
         images = load_cifar10_dir(args.data_path)

@@ -140,6 +140,61 @@ def tfrecord_dataset(path, *, resolution: int, batch_size: int,
     return ds.batch(batch_size, drop_remainder=True).prefetch(tf.data.AUTOTUNE)
 
 
+def lsun_dataset(root: str, *, resolution: int, batch_size: int,
+                 centered: bool = False, random_flip: bool = True,
+                 shuffle: bool = True, repeat: bool = True, seed: int = 0):
+    """LSUN LMDB environment -> tf.data pipeline.
+
+    Twin of the reference's ``LSUNClass`` (ddpm_and_guided-diffusion/
+    datasets/lsun.py:12-58: lmdb env -> per-key image buffer -> PIL decode)
+    and its LSUN transform chain (datasets/__init__.py: Resize +
+    CenterCrop to ``image_size``). The LMDB file is read by the pure-Python
+    B+tree reader in utils/lmdb.py — no lmdb C module required. Values are
+    compressed image buffers (webp/jpeg); PIL decodes them host-side.
+    """
+    import tensorflow as tf
+
+    from .utils.lmdb import LMDBReader
+
+    tf.config.experimental.set_visible_devices([], "GPU")
+    reader = LMDBReader(root)
+    if len(reader) == 0:
+        raise FileNotFoundError(f"LMDB at {root} holds no entries")
+
+    def gen():
+        import io
+
+        from PIL import Image
+
+        while True:
+            for _, buf in reader.items():
+                img = Image.open(io.BytesIO(buf)).convert("RGB")
+                yield np.asarray(img, np.uint8)
+            if not repeat:
+                return
+
+    ds = tf.data.Dataset.from_generator(
+        gen, output_signature=tf.TensorSpec((None, None, 3), tf.uint8))
+    if shuffle:
+        ds = ds.shuffle(512, seed=seed)
+
+    def prep(img):
+        shape = tf.shape(img)
+        side = tf.minimum(shape[0], shape[1])
+        img = tf.image.resize_with_crop_or_pad(img, side, side)
+        img = tf.image.resize(img, (resolution, resolution),
+                              method="bicubic", antialias=True)
+        img = tf.clip_by_value(tf.cast(img, tf.float32) / 255.0, 0.0, 1.0)
+        if random_flip:
+            img = tf.image.random_flip_left_right(img)
+        if centered:
+            img = img * 2.0 - 1.0
+        return img
+
+    ds = ds.map(prep, num_parallel_calls=tf.data.AUTOTUNE)
+    return ds.batch(batch_size, drop_remainder=True).prefetch(tf.data.AUTOTUNE)
+
+
 def image_folder_dataset(path: str, *, resolution: int, batch_size: int,
                          centered: bool = False, random_flip: bool = True,
                          shuffle: bool = True, repeat: bool = True, seed: int = 0):
