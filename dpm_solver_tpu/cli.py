@@ -359,6 +359,35 @@ def cmd_inpaint(args):
     print(f"wrote {args.batch} images to {args.outdir}")
 
 
+def cmd_knn2img(args):
+    """Retrieval-augmented sampling (ref scripts/knn2img.py): CLIP text
+    query + k nearest database image embeddings -> RDM -> images."""
+    import dataclasses as _dc
+
+    import jax
+
+    from dpm_solver_tpu.models import ADMConfig, VAEConfig
+    from dpm_solver_tpu.models.text_encoder import FrozenCLIPTextJointEmbedder
+    from dpm_solver_tpu.pipelines import load_sd_checkpoint
+    from dpm_solver_tpu.pipelines.retrieval import Searcher, knn2img
+    from dpm_solver_tpu.pipelines.stable_diffusion import make_ldm_betas
+
+    ldm = load_sd_checkpoint(args.ckpt, unet_config=ADMConfig.rdm_768(),
+                             vae_config=VAEConfig.rdm_768(),
+                             parameterization="eps")
+    # RDM schedule/scale constants (768x768.yaml: linear_start/end, scale)
+    ldm = _dc.replace(ldm, betas=make_ldm_betas(1000, 0.0015, 0.015),
+                      scale_factor=0.22765929)
+    text = FrozenCLIPTextJointEmbedder(args.clip)
+    searcher = Searcher(args.database) if args.database else None
+    imgs = knn2img(ldm, [args.prompt] * args.batch, text_embedder=text,
+                   searcher=searcher, knn=args.knn, steps=args.steps,
+                   guidance_scale=args.scale, height=args.H, width=args.W,
+                   rng=jax.random.PRNGKey(args.seed))
+    _save_images(np.asarray(imgs), args.outdir, prefix="knn2img")
+    print(f"wrote {args.batch} images to {args.outdir}")
+
+
 def cmd_clscond(args):
     """Class-conditional LDM sampling (ref scripts/sample_diffusion.py)."""
     import jax
@@ -456,6 +485,24 @@ def main(argv=None):
         gp.add_argument("--seed", type=int, default=42)
         gp.add_argument("--outdir", default="./outputs")
         gp.set_defaults(fn=fn)
+
+    kp = sub.add_parser("knn2img", help="retrieval-augmented sampling")
+    kp.add_argument("--ckpt", required=True, help="RDM checkpoint")
+    kp.add_argument("--prompt", required=True)
+    kp.add_argument("--clip", default="openai/clip-vit-large-patch14",
+                    help="local CLIP checkpoint dir (joint-space embedder)")
+    kp.add_argument("--database", default=None,
+                    help=".npz embedding database (file or shard dir); "
+                         "omit for text-only conditioning")
+    kp.add_argument("--knn", type=int, default=10)
+    kp.add_argument("--steps", type=int, default=50)
+    kp.add_argument("--scale", type=float, default=5.0)
+    kp.add_argument("--H", type=int, default=768)
+    kp.add_argument("--W", type=int, default=768)
+    kp.add_argument("--batch", type=int, default=3)
+    kp.add_argument("--seed", type=int, default=42)
+    kp.add_argument("--outdir", default="./outputs")
+    kp.set_defaults(fn=cmd_knn2img)
 
     cp = sub.add_parser("clscond", help="class-conditional LDM sampling")
     cp.add_argument("--ckpt", required=True)

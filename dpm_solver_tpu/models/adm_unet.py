@@ -103,6 +103,19 @@ class ADMConfig:
         )
 
     @staticmethod
+    def rdm_768() -> "ADMConfig":
+        """Retrieval-augmented diffusion UNet
+        (configs/retrieval-augmented-diffusion/768x768.yaml): 16-ch latents
+        at 48x48, cross-attention on 768-d CLIP joint-space context."""
+        return ADMConfig(
+            image_size=48, in_channels=16, model_channels=448,
+            out_channels=16, num_res_blocks=2, attention_resolutions=(1, 2, 4),
+            channel_mult=(1, 2, 3, 4), num_head_channels=32,
+            use_spatial_transformer=True, transformer_depth=1,
+            context_dim=768,
+        )
+
+    @staticmethod
     def imagenet64_iddpm() -> "ADMConfig":
         """configs/imagenet64.yml (improved-DDPM cosine, learned sigma)."""
         return ADMConfig(

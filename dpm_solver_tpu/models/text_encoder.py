@@ -48,6 +48,77 @@ class FrozenCLIPEmbedder:
         return jnp.asarray(out.last_hidden_state)
 
 
+class FrozenCLIPTextJointEmbedder:
+    """prompts -> L2-normalized CLIP *joint-space* embeddings (B, n_repeat, D).
+
+    Twin of the reference's FrozenCLIPTextEmbedder
+    (ldm/modules/encoders/modules.py:165-194): the projected pooled text
+    feature, normalized, repeated k times along the token axis — the
+    conditioning space of the retrieval-augmented (knn2img) models, shared
+    with the image embedder so text queries can search an image database.
+    """
+
+    def __init__(self, version: str = "openai/clip-vit-large-patch14",
+                 max_length: int = 77, n_repeat: int = 1,
+                 normalize: bool = True, from_pt: bool = False):
+        from transformers import CLIPTokenizer, FlaxCLIPModel
+
+        self.tokenizer = CLIPTokenizer.from_pretrained(version)
+        self.model = FlaxCLIPModel.from_pretrained(version, from_pt=from_pt)
+        self.max_length = max_length
+        self.n_repeat = n_repeat
+        self.normalize = normalize
+
+    def __call__(self, prompts: Union[str, Sequence[str]]):
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        batch = self.tokenizer(
+            list(prompts), truncation=True, max_length=self.max_length,
+            padding="max_length", return_tensors="np")
+        z = self.model.get_text_features(input_ids=batch["input_ids"])
+        if self.normalize:
+            z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        return jnp.repeat(z[:, None, :], self.n_repeat, axis=1)
+
+    def encode(self, prompts):
+        return self(prompts)
+
+
+class FrozenCLIPImageEmbedder:
+    """images in [-1,1] NHWC -> CLIP joint-space embeddings (B, D).
+
+    Twin of FrozenClipImageEmbedder (modules.py:197-228): bicubic resize to
+    224, CLIP mean/std normalization, projected image feature. Used both to
+    build retrieval databases and to embed query images.
+    """
+
+    MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+    def __init__(self, version: str = "openai/clip-vit-large-patch14",
+                 normalize: bool = True, from_pt: bool = False):
+        from transformers import FlaxCLIPModel
+
+        self.model = FlaxCLIPModel.from_pretrained(version, from_pt=from_pt)
+        self.normalize = normalize
+
+    def preprocess(self, x):
+        import jax
+
+        x = jax.image.resize(
+            x, (x.shape[0], 224, 224, x.shape[-1]), method="bicubic")
+        x = (x + 1.0) / 2.0
+        return (x - self.MEAN) / self.STD
+
+    def __call__(self, x):
+        # transformers Flax CLIP takes NCHW pixel_values
+        z = self.model.get_image_features(
+            pixel_values=jnp.transpose(self.preprocess(x), (0, 3, 1, 2)))
+        if self.normalize:
+            z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        return z
+
+
 def constant_context_encoder(context_dim: int, max_length: int = 77,
                              seed: int = 0) -> Callable:
     """Deterministic stand-in encoder for tests and smoke runs: hashes each

@@ -48,6 +48,13 @@ class VAEConfig:
         return VAEConfig()
 
     @staticmethod
+    def rdm_768() -> "VAEConfig":
+        """f16/z16 KL first stage of the retrieval-augmented model
+        (configs/retrieval-augmented-diffusion/768x768.yaml)."""
+        return VAEConfig(ch_mult=(1, 1, 2, 2, 4), z_channels=16,
+                         embed_dim=16, attn_resolutions=(16,))
+
+    @staticmethod
     def tiny(**overrides) -> "VAEConfig":
         base = dict(ch=32, ch_mult=(1, 2), num_res_blocks=1, resolution=32,
                     z_channels=4, embed_dim=4, attn_resolutions=(16,))

@@ -1,5 +1,10 @@
 from dpm_solver_tpu.pipelines.cascade import CascadePipeline, CascadeStage
 from dpm_solver_tpu.pipelines.diffedit import compute_edit_mask, diffedit
+from dpm_solver_tpu.pipelines.retrieval import (
+    Searcher,
+    build_image_database,
+    knn2img,
+)
 from dpm_solver_tpu.pipelines.stable_diffusion import (
     DPMSolverSampler,
     LatentDiffusion,
@@ -12,6 +17,9 @@ from dpm_solver_tpu.pipelines.stable_diffusion import (
 __all__ = [
     "CascadePipeline",
     "CascadeStage",
+    "Searcher",
+    "build_image_database",
+    "knn2img",
     "DPMSolverSampler",
     "LatentDiffusion",
     "StableDiffusionPipeline",
