@@ -301,9 +301,27 @@ def cmd_txt2img(args):
     text = FrozenCLIPEmbedder(args.clip) if args.clip else None
     ldm = load_sd_checkpoint(args.ckpt, text_encode=text)
     pipe = StableDiffusionPipeline(ldm)
-    imgs = pipe.txt2img([args.prompt] * args.batch, steps=args.steps,
-                        guidance_scale=args.scale, height=args.H, width=args.W,
-                        rng=jax.random.PRNGKey(args.seed))
+    imgs = np.asarray(pipe.txt2img(
+        [args.prompt] * args.batch, steps=args.steps,
+        guidance_scale=args.scale, height=args.H, width=args.W,
+        rng=jax.random.PRNGKey(args.seed)))
+    if args.safety_ckpt:
+        # ref txt2img.py:88-95 check_safety: flagged samples are replaced
+        from dpm_solver_tpu.models.text_encoder import FrozenCLIPImageEmbedder
+        from dpm_solver_tpu.utils.safety import load_safety_checker
+
+        checker = load_safety_checker(
+            args.safety_ckpt, FrozenCLIPImageEmbedder(args.clip))
+        imgs, flags = checker(imgs * 2.0 - 1.0)
+        imgs = (imgs + 1.0) / 2.0
+        if flags.any():
+            print(f"safety checker replaced {int(flags.sum())} sample(s)")
+    if args.wm:
+        # ref txt2img.py:261-264,325: invisible watermark on every output
+        from dpm_solver_tpu.utils.watermark import put_watermark
+
+        u8 = (imgs * 255).clip(0, 255).astype(np.uint8)
+        imgs = np.stack([put_watermark(im, args.wm) for im in u8]) / 255.0
     _save_images(np.asarray(imgs), args.outdir, prefix="txt2img")
     print(f"wrote {args.batch} images to {args.outdir}")
 
@@ -463,6 +481,10 @@ def main(argv=None):
     xp.add_argument("--batch", type=int, default=1)
     xp.add_argument("--seed", type=int, default=42)
     xp.add_argument("--outdir", default="./outputs")
+    xp.add_argument("--wm", default="StableDiffusionV1",
+                    help="invisible watermark payload ('' disables)")
+    xp.add_argument("--safety-ckpt", default=None,
+                    help="local safety-checker torch checkpoint")
     xp.set_defaults(fn=cmd_txt2img)
 
     for name, fn, extra in (
@@ -515,6 +537,22 @@ def main(argv=None):
     cp.add_argument("--seed", type=int, default=42)
     cp.add_argument("--outdir", default="./outputs")
     cp.set_defaults(fn=cmd_clscond)
+
+    wd = sub.add_parser("wmdecode",
+                        help="decode an invisible watermark from an image "
+                             "(ref scripts/tests/test_watermark.py)")
+    wd.add_argument("image")
+    wd.add_argument("--bits", type=int, default=136)
+
+    def _wmdecode(a):
+        from PIL import Image
+
+        from dpm_solver_tpu.utils.watermark import decode_watermark_text
+
+        arr = np.asarray(Image.open(a.image).convert("RGB"), np.uint8)
+        print(decode_watermark_text(arr, a.bits) or "null")
+
+    wd.set_defaults(fn=_wmdecode)
 
     lp = sub.add_parser("configs", help="list registered configs")
     lp.set_defaults(fn=lambda a: print("\n".join(
