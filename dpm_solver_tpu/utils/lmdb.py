@@ -72,10 +72,19 @@ class LMDBReader:
     """
 
     def __init__(self, path: str):
+        import mmap
+
         if os.path.isdir(path):
             path = os.path.join(path, "data.mdb")
-        with open(path, "rb") as f:
-            self._buf = f.read()
+        # mmap, not read(): real LSUN environments are tens of GB; pages are
+        # faulted in lazily exactly as the C library does
+        self._file = open(path, "rb")
+        try:
+            self._buf = mmap.mmap(self._file.fileno(), 0,
+                                  access=mmap.ACCESS_READ)
+        except ValueError as e:
+            self._file.close()
+            raise LMDBError(f"{path}: cannot map ({e})")
         if len(self._buf) < 2 * PAGEHDRSZ + _META.size:
             raise LMDBError(f"{path}: too small to be an LMDB file")
         self.path = path
