@@ -144,16 +144,33 @@ def cmd_sample(args):
     solver, _ = _build_sampler_from_config(
         config, params, model, labels=labels, classifier=classifier,
         classifier_params=classifier_params)
-    x_T = jax.random.normal(
-        jax.random.PRNGKey(args.seed),
-        (args.batch, d.image_size, d.image_size, d.channels))
+    mode = getattr(args, "mode", "fid")
+    sample_shape = (d.image_size, d.image_size, d.channels)
+    if mode == "interpolation":
+        # slerp grid between two noise draws (ref runners/diffusion.py:
+        # 484-522 sample_interpolation)
+        from dpm_solver_tpu.samplers import interpolation_grid
+
+        x_T = interpolation_grid(jax.random.PRNGKey(args.seed), sample_shape,
+                                 n=args.batch)
+    else:
+        x_T = jax.random.normal(jax.random.PRNGKey(args.seed),
+                                (args.batch,) + sample_shape)
     out = solver.sample(
         x_T, steps=scfg.steps, t_start=scfg.t_start, t_end=scfg.t_end or 1e-3,
         order=scfg.order, skip_type=scfg.skip_type, method=scfg.method,
-        lower_order_final=scfg.lower_order_final)
+        lower_order_final=scfg.lower_order_final,
+        return_intermediate=(mode == "sequence"))
+    if mode == "sequence":
+        # per-step trajectory snapshots (ref runners/diffusion.py:461-482
+        # sample_sequence): files named {sample}_{step}.png
+        out, intermediates = out
+        for step_i, x_i in enumerate(intermediates):
+            imgs = np.clip((np.asarray(x_i) + 1.0) / 2.0, 0.0, 1.0)
+            _save_images(imgs, args.outdir, prefix=f"seq_step{step_i:03d}")
     imgs = np.clip((np.asarray(out) + 1.0) / 2.0, 0.0, 1.0)
     _save_images(imgs, args.outdir)
-    print(f"wrote {imgs.shape[0]} samples to {args.outdir}")
+    print(f"wrote {imgs.shape[0]} samples to {args.outdir} (mode={mode})")
 
 
 def cmd_train(args):
@@ -448,6 +465,11 @@ def main(argv=None):
     sp.add_argument("--batch", type=int, default=16)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--outdir", default="./samples")
+    sp.add_argument("--mode", choices=("fid", "sequence", "interpolation"),
+                    default="fid",
+                    help="fid: iid batch; sequence: save per-step "
+                         "trajectory; interpolation: slerp grid between "
+                         "two noise draws (ref runner modes)")
     sp.set_defaults(fn=cmd_sample)
 
     tp = sub.add_parser("train")

@@ -366,3 +366,29 @@ def plms_sampler(
         return x
 
     return sampler
+
+
+def slerp(z1, z2, alpha):
+    """Spherical interpolation between noise latents (ref
+    runners/diffusion.py:487-492: sample_interpolation's slerp). `alpha`
+    may be a scalar or a vector (one output per alpha)."""
+    z1 = jnp.asarray(z1)
+    z2 = jnp.asarray(z2)
+    theta = jnp.arccos(jnp.clip(
+        jnp.sum(z1 * z2) / (jnp.linalg.norm(z1) * jnp.linalg.norm(z2)),
+        -1.0, 1.0))
+    alpha = jnp.asarray(alpha)
+    shape = alpha.shape + (1,) * z1.ndim
+    a = alpha.reshape(shape)
+    out = (jnp.sin((1.0 - a) * theta) / jnp.sin(theta) * z1[None]
+           + jnp.sin(a * theta) / jnp.sin(theta) * z2[None])
+    return out if alpha.ndim else out[0]
+
+
+def interpolation_grid(rng, shape, n: int = 11):
+    """Two noise draws slerp'd at n evenly spaced alphas (the runner's
+    arange(0, 1.01, 0.1) grid) -> (n, *shape) batch of x_T."""
+    r1, r2 = jax.random.split(rng)
+    z1 = jax.random.normal(r1, shape)
+    z2 = jax.random.normal(r2, shape)
+    return slerp(z1, z2, jnp.linspace(0.0, 1.0, n))

@@ -118,3 +118,40 @@ def test_load_torch_state_dict_prefers_ema(tmp_path):
 
     got_raw = load_torch_state_dict(path, prefer_ema=False)
     np.testing.assert_allclose(got_raw["weight"], raw["weight"].numpy())
+
+
+def test_cli_sample_modes(tmp_path):
+    """sequence/interpolation modes (ref runners/diffusion.py:461-522)."""
+    import glob
+
+    out = str(tmp_path / "seq")
+    main(["sample", "--config", "tiny_test", "--batch", "2",
+          "--outdir", out, "--mode", "sequence"])
+    assert glob.glob(out + "/seq_step*_*.png")
+    assert glob.glob(out + "/sample_*.png")
+
+    out2 = str(tmp_path / "interp")
+    main(["sample", "--config", "tiny_test", "--batch", "5",
+          "--outdir", out2, "--mode", "interpolation"])
+    assert len(glob.glob(out2 + "/sample_*.png")) == 5
+
+
+def test_slerp_properties():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dpm_solver_tpu.samplers import interpolation_grid, slerp
+
+    z1 = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 3))
+    z2 = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 3))
+    np.testing.assert_allclose(np.asarray(slerp(z1, z2, 0.0)), np.asarray(z1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(slerp(z1, z2, 1.0)), np.asarray(z2),
+                               rtol=1e-5, atol=1e-6)
+    # endpoints preserved, vector alphas give a batch
+    grid = interpolation_grid(jax.random.PRNGKey(2), (4, 4, 3), n=7)
+    assert grid.shape == (7, 4, 4, 3)
+    # slerp keeps norms between the endpoint norms (spherical path)
+    mid = np.linalg.norm(np.asarray(slerp(z1, z2, 0.5)))
+    assert min(np.linalg.norm(z1), np.linalg.norm(z2)) * 0.8 <= mid
