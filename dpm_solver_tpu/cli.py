@@ -39,11 +39,13 @@ def _save_images(arr: np.ndarray, outdir: str, prefix: str = "sample"):
 
 
 def _build_sampler_from_config(config, params, model, *, labels=None,
-                               classifier=None, classifier_params=None):
+                               classifier=None, classifier_params=None,
+                               low_res=None):
     """Mirror of the reference runner's solver assembly
     (runners/diffusion.py:594-639): class-conditional nets get random labels
     and an optional classifier-guidance term; learned-sigma nets (out=2*in)
-    use only the mean split (:600-603)."""
+    use only the mean split (:600-603); `low_res` feeds SuperResModel
+    conditioning (:540-546 model_kwargs['low_res'])."""
     import jax
     import jax.numpy as jnp
 
@@ -60,6 +62,10 @@ def _build_sampler_from_config(config, params, model, *, labels=None,
     split_mean = getattr(mc, "out_channels", d.channels) == 2 * d.channels
 
     def raw(x, t):
+        if low_res is not None:
+            from dpm_solver_tpu.models.adm_unet import super_res_inputs
+
+            x = super_res_inputs(x, low_res)
         if config.model_family == "ddpm_unet":
             out = model.apply(params, x, t)
         elif labels is not None:
@@ -141,9 +147,21 @@ def cmd_sample(args):
         classifier_params = convert_adm_unet(
             load_torch_state_dict(args.classifier_ckpt),
             config.classifier_config, classifier=True)
+    low_res = None
+    if getattr(args, "base_samples", None):
+        # upsampling runs (ref runners/diffusion.py:31-52,420-446): the npz
+        # carries uint8 NHWC images in arr_0 and optional labels in arr_1
+        obj = np.load(args.base_samples)
+        arr = obj["arr_0"][: args.batch]
+        low_res = jnp.asarray(arr, jnp.float32) / 127.5 - 1.0
+        if "arr_1" in getattr(obj, "files", ()):
+            labels = jnp.asarray(obj["arr_1"][: args.batch])
+        if arr.shape[0] < args.batch:
+            raise SystemExit(f"--base-samples holds {arr.shape[0]} images "
+                             f"< batch {args.batch}")
     solver, _ = _build_sampler_from_config(
         config, params, model, labels=labels, classifier=classifier,
-        classifier_params=classifier_params)
+        classifier_params=classifier_params, low_res=low_res)
     mode = getattr(args, "mode", "fid")
     sample_shape = (d.image_size, d.image_size, d.channels)
     if mode == "interpolation":
@@ -465,6 +483,9 @@ def main(argv=None):
     sp.add_argument("--batch", type=int, default=16)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--outdir", default="./samples")
+    sp.add_argument("--base-samples", default=None,
+                    help="npz of low-res images (arr_0 [+labels arr_1]) for "
+                         "SuperRes upsampling runs")
     sp.add_argument("--mode", choices=("fid", "sequence", "interpolation"),
                     default="fid",
                     help="fid: iid batch; sequence: save per-step "

@@ -329,6 +329,26 @@ def _tiny_test() -> Config:
     )
 
 
+@register_config("tiny_superres")
+def _tiny_superres() -> Config:
+    """Small SuperRes ADM UNet (low-res concat conditioning) at 16px:
+    exercises the runner's base_samples upsampling flow
+    (ref runners/diffusion.py:420-446, unet.py:666-680)."""
+    from dpm_solver_tpu.models import ADMConfig
+
+    return Config(
+        name="tiny_superres", model_family="adm",
+        model_config=ADMConfig(
+            image_size=16, in_channels=6, model_channels=32, out_channels=3,
+            num_res_blocks=1, attention_resolutions=(4,),
+            channel_mult=(1, 2), num_heads=2),
+        data=DataConfig(dataset="arrays", image_size=16, centered=True),
+        sampling=SamplingConfig(order=2, steps=6, skip_type="time_uniform",
+                                method="multistep"),
+        eval=EvalConfig(batch_size=4, num_samples=4),
+    )
+
+
 @register_config("sd_v1")
 def _sd_v1() -> Config:
     """Stable Diffusion v1: CFG 7.5, 25 steps, multistep order-2

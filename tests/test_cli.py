@@ -155,3 +155,25 @@ def test_slerp_properties():
     # slerp keeps norms between the endpoint norms (spherical path)
     mid = np.linalg.norm(np.asarray(slerp(z1, z2, 0.5)))
     assert min(np.linalg.norm(z1), np.linalg.norm(z2)) * 0.8 <= mid
+
+
+def test_cli_superres_base_samples(tmp_path):
+    """SuperRes upsampling flow: --base-samples low-res conditioning
+    (ref runners/diffusion.py:420-446, load_data_for_worker)."""
+    import glob
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    npz = str(tmp_path / "base.npz")
+    np.savez(npz, arr_0=rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8))
+    out = str(tmp_path / "sr")
+    main(["sample", "--config", "tiny_superres", "--batch", "2",
+          "--base-samples", npz, "--outdir", out])
+    assert len(glob.glob(out + "/sample_*.png")) == 2
+    # batch larger than the npz fails loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["sample", "--config", "tiny_superres", "--batch", "8",
+              "--base-samples", npz, "--outdir", out])
