@@ -12,6 +12,9 @@ from dpm_solver_tpu.models.text_encoder import (
     BERTEmbedder,
     ClassEmbedder,
     FrozenCLIPEmbedder,
+    FrozenCLIPImageEmbedder,
+    FrozenCLIPTextJointEmbedder,
+    SpatialRescaler,
     constant_context_encoder,
     convert_bert_embedder,
 )
@@ -43,6 +46,9 @@ __all__ = [
     "convert_autoencoder_kl",
     "BERTEmbedder",
     "ClassEmbedder",
+    "FrozenCLIPImageEmbedder",
+    "FrozenCLIPTextJointEmbedder",
+    "SpatialRescaler",
     "FrozenCLIPEmbedder",
     "SpatialTransformer",
     "constant_context_encoder",

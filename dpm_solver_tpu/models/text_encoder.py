@@ -137,6 +137,35 @@ def constant_context_encoder(context_dim: int, max_length: int = 77,
     return encode
 
 
+class SpatialRescaler(nn.Module):
+    """Spatial conditioning rescaler (ldm/modules/encoders/modules.py:106-135):
+    n_stages of `multiplier`x resize, optional 1x1 channel remap. Used by
+    layout/segmentation-conditioned LDMs. NHWC."""
+
+    n_stages: int = 1
+    method: str = "bilinear"
+    multiplier: float = 0.5
+    out_channels: Optional[int] = None
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        for _ in range(self.n_stages):
+            b, h, w, c = x.shape
+            x = jax.image.resize(
+                x, (b, max(1, int(h * self.multiplier)),
+                    max(1, int(w * self.multiplier)), c), self.method)
+        if self.out_channels is not None:
+            x = nn.Conv(self.out_channels, (1, 1), use_bias=self.use_bias,
+                        name="channel_mapper")(x)
+        return x
+
+    def encode(self, x):
+        return self(x)
+
+
 class ClassEmbedder:
     """Class-label conditioner for class-conditional LDMs (ref
     ldm/modules/encoders/modules.py ClassEmbedder used by the cin256

@@ -168,3 +168,21 @@ def test_rdm_config_presets():
     assert u.context_dim == 768 and u.use_spatial_transformer
     v = VAEConfig.rdm_768()
     assert v.z_channels == 16 and len(v.ch_mult) == 5  # f16 first stage
+
+
+def test_spatial_rescaler():
+    """Layout-conditioning rescaler (modules.py:106-135): n stages of 0.5x +
+    1x1 remap."""
+    from dpm_solver_tpu.models import SpatialRescaler
+
+    m = SpatialRescaler(n_stages=2, out_channels=5)
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    y = m.apply(p, jnp.ones((2, 32, 32, 3)))
+    assert y.shape == (2, 8, 8, 5)
+    # no remap -> channels preserved, pure resize
+    m2 = SpatialRescaler(n_stages=1)
+    y2 = m2.apply(m2.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 4))),
+                  jnp.ones((2, 8, 8, 4)))
+    assert y2.shape == (2, 4, 4, 4)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(y2), 1.0, atol=1e-6)
