@@ -130,6 +130,8 @@ def decode_watermark(img: np.ndarray, n_bits: int = 136) -> bytes:
     arr = np.asarray(img)
     if arr.dtype != np.uint8 or arr.ndim != 3:
         raise ValueError("expected uint8 RGB (H, W, 3)")
+    # tolerate crops/odd sizes: decode over the largest aligned region
+    arr = arr[: arr.shape[0] // 4 * 4, : arr.shape[1] // 4 * 4]
     votes = np.zeros(n_bits)
     yuv = _rgb_to_yuv(arr.astype(np.float64))
     for ch in (1, 2):
