@@ -336,6 +336,9 @@ def cmd_txt2img(args):
     text = FrozenCLIPEmbedder(args.clip) if args.clip else None
     ldm = load_sd_checkpoint(args.ckpt, text_encode=text)
     pipe = StableDiffusionPipeline(ldm)
+    if args.safety_ckpt and not args.clip:
+        raise SystemExit("--safety-ckpt needs --clip (the CLIP vision tower "
+                         "that embeds images for the concept screen)")
     imgs = np.asarray(pipe.txt2img(
         [args.prompt] * args.batch, steps=args.steps,
         guidance_scale=args.scale, height=args.H, width=args.W,
@@ -415,22 +418,15 @@ def cmd_inpaint(args):
 def cmd_knn2img(args):
     """Retrieval-augmented sampling (ref scripts/knn2img.py): CLIP text
     query + k nearest database image embeddings -> RDM -> images."""
-    import dataclasses as _dc
-
     import jax
 
-    from dpm_solver_tpu.models import ADMConfig, VAEConfig
     from dpm_solver_tpu.models.text_encoder import FrozenCLIPTextJointEmbedder
     from dpm_solver_tpu.pipelines import load_sd_checkpoint
     from dpm_solver_tpu.pipelines.retrieval import Searcher, knn2img
-    from dpm_solver_tpu.pipelines.stable_diffusion import make_ldm_betas
 
-    ldm = load_sd_checkpoint(args.ckpt, unet_config=ADMConfig.rdm_768(),
-                             vae_config=VAEConfig.rdm_768(),
+    # the rdm_768 preset carries the 768x768.yaml schedule/scale constants
+    ldm = load_sd_checkpoint(args.ckpt, preset="rdm_768",
                              parameterization="eps")
-    # RDM schedule/scale constants (768x768.yaml: linear_start/end, scale)
-    ldm = _dc.replace(ldm, betas=make_ldm_betas(1000, 0.0015, 0.015),
-                      scale_factor=0.22765929)
     text = FrozenCLIPTextJointEmbedder(args.clip)
     searcher = Searcher(args.database) if args.database else None
     imgs = knn2img(ldm, [args.prompt] * args.batch, text_embedder=text,
@@ -451,7 +447,7 @@ def cmd_clscond(args):
         load_sd_checkpoint,
     )
 
-    ldm = load_sd_checkpoint(args.ckpt)
+    ldm = load_sd_checkpoint(args.ckpt, preset=args.preset)
     labels = np.asarray([int(c) for c in args.classes.split(",")], np.int64)
     embedder = ClassEmbedder(args.num_classes + 1, args.embed_dim)
     imgs = class_conditional_sample(
@@ -573,6 +569,8 @@ def main(argv=None):
     cp.add_argument("--ckpt", required=True)
     cp.add_argument("--classes", required=True,
                     help="comma-separated class ids, one image each")
+    cp.add_argument("--preset", default="cin256",
+                    help="checkpoint geometry preset (cin256 | sd_v1 | ...)")
     cp.add_argument("--num-classes", type=int, default=1000)
     cp.add_argument("--embed-dim", type=int, default=512)
     cp.add_argument("--steps", type=int, default=20)

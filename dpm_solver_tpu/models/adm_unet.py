@@ -103,6 +103,19 @@ class ADMConfig:
         )
 
     @staticmethod
+    def cin256() -> "ADMConfig":
+        """Class-conditional ImageNet LDM UNet
+        (configs/latent-diffusion/cin256-v2.yaml): 3-ch VQ latents at 64x64,
+        cross-attention on the 512-d ClassEmbedder context."""
+        return ADMConfig(
+            image_size=64, in_channels=3, model_channels=192, out_channels=3,
+            num_res_blocks=2, attention_resolutions=(2, 4, 8),
+            channel_mult=(1, 2, 3, 5), num_heads=1,
+            use_spatial_transformer=True, transformer_depth=1,
+            context_dim=512,
+        )
+
+    @staticmethod
     def rdm_768() -> "ADMConfig":
         """Retrieval-augmented diffusion UNet
         (configs/retrieval-augmented-diffusion/768x768.yaml): 16-ch latents

@@ -48,6 +48,14 @@ class VAEConfig:
         return VAEConfig()
 
     @staticmethod
+    def vq_cin256() -> "VAEConfig":
+        """f4 VQ first stage of the class-conditional ImageNet LDM
+        (configs/latent-diffusion/cin256-v2.yaml: z=3, ch_mult (1,2,4),
+        n_embed 8192, no attention, double_z false)."""
+        return VAEConfig(ch_mult=(1, 2, 4), z_channels=3, embed_dim=3,
+                         double_z=False, attn_resolutions=())
+
+    @staticmethod
     def rdm_768() -> "VAEConfig":
         """f16/z16 KL first stage of the retrieval-augmented model
         (configs/retrieval-augmented-diffusion/768x768.yaml)."""

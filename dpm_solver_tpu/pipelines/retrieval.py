@@ -55,12 +55,22 @@ class Searcher:
             if os.path.isdir(path) else [path]
         if not files:
             raise FileNotFoundError(f"no .npz database under {path}")
-        shards = [np.load(f) for f in files]
-        out: dict = {}
-        for key in shards[0].files:
-            parts = [s[key] for s in shards if key in s.files]
-            out[key] = parts[0] if len(parts) == 1 else np.concatenate(parts)
-        return out
+        shards = []
+        keys = None
+        for f in files:
+            with np.load(f) as z:
+                # every shard must carry the same keys, or concatenated
+                # metadata would silently misalign with the embeddings
+                if keys is None:
+                    keys = set(z.files)
+                elif set(z.files) != keys:
+                    raise ValueError(
+                        f"database shard {f} carries keys {sorted(z.files)} "
+                        f"but {files[0]} carries {sorted(keys)}")
+                shards.append({k: z[k] for k in z.files})
+        return {key: (shards[0][key] if len(shards) == 1
+                      else np.concatenate([s[key] for s in shards]))
+                for key in keys}
 
     def __len__(self) -> int:
         return self._dbT.shape[1]

@@ -52,7 +52,7 @@ class LatentDiffusion:
 
     unet: ADMUNet
     unet_params: Any
-    vae: AutoencoderKL
+    vae: Any  # AutoencoderKL or VQModel (first-stage dispatch via _is_vq)
     vae_params: Any
     text_encode: Optional[Callable] = None
     betas: np.ndarray = dataclasses.field(default_factory=make_ldm_betas)
@@ -73,16 +73,35 @@ class LatentDiffusion:
             raise ValueError("no text encoder attached")
         return self.text_encode(prompts)
 
+    @property
+    def _is_vq(self) -> bool:
+        from dpm_solver_tpu.models.vae import VQModel
+
+        return isinstance(self.vae, VQModel)
+
     def encode_first_stage(self, img, *, sample_rng=None):
-        """image [-1,1] NHWC -> scaled latent (mode unless rng given)."""
-        posterior = self.vae.apply(self.vae_params, img,
-                                   method=AutoencoderKL.encode)
-        z = posterior.mode() if sample_rng is None else posterior.sample(sample_rng)
+        """image [-1,1] NHWC -> scaled latent (mode unless rng given). The
+        VQ first stage yields the PRE-quant latent (VQModelInterface
+        convention, autoencoder.py:14-34)."""
+        if self._is_vq:
+            from dpm_solver_tpu.models.vae import VQModel
+
+            z = self.vae.apply(self.vae_params, img, method=VQModel.encode)
+        else:
+            posterior = self.vae.apply(self.vae_params, img,
+                                       method=AutoencoderKL.encode)
+            z = (posterior.mode() if sample_rng is None
+                 else posterior.sample(sample_rng))
         return self.scale_factor * z
 
     def decode_first_stage(self, z):
-        return self.vae.apply(self.vae_params, z / self.scale_factor,
-                              method=AutoencoderKL.decode)
+        z = z / self.scale_factor
+        if self._is_vq:
+            from dpm_solver_tpu.models.vae import VQModel
+
+            # VQModelInterface decode QUANTIZES by default (autoencoder.py)
+            return self.vae.apply(self.vae_params, z, method=VQModel.decode)
+        return self.vae.apply(self.vae_params, z, method=AutoencoderKL.decode)
 
 
 class DPMSolverSampler:
@@ -289,14 +308,31 @@ class StableDiffusionPipeline:
         return (1.0 - mask) * orig + mask * pred
 
 
+_LDM_PRESETS = {
+    # name -> (unet_config, vae_config, betas kwargs, scale_factor)
+    "sd_v1": (ADMConfig.sd_v1, VAEConfig.sd_v1,
+              dict(linear_start=0.00085, linear_end=0.0120), 0.18215),
+    "sd_v2_1": (ADMConfig.sd_v2_1, VAEConfig.sd_v1,
+                dict(linear_start=0.00085, linear_end=0.0120), 0.18215),
+    "cin256": (ADMConfig.cin256, VAEConfig.vq_cin256,
+               dict(linear_start=0.0015, linear_end=0.0195), 1.0),
+    "rdm_768": (ADMConfig.rdm_768, VAEConfig.rdm_768,
+                dict(linear_start=0.0015, linear_end=0.015), 0.22765929),
+}
+
+
 def load_sd_checkpoint(path_or_state_dict, *,
+                       preset: str = "sd_v1",
                        unet_config: Optional[ADMConfig] = None,
                        vae_config: Optional[VAEConfig] = None,
                        text_encode: Optional[Callable] = None,
                        parameterization: Optional[str] = None) -> LatentDiffusion:
-    """Build a LatentDiffusion from a CompVis SD checkpoint: routes
+    """Build a LatentDiffusion from a CompVis checkpoint: routes
     `model.diffusion_model.*` through convert_adm_unet and
-    `first_stage_model.*` through convert_autoencoder_kl. Accepts a path or a
+    `first_stage_model.*` through the KL or VQ converter (auto-detected from
+    the quantizer keys). `preset` selects model geometry + schedule + scale
+    factor (sd_v1 | sd_v2_1 | cin256 | rdm_768 — the reference's LDM config
+    files); explicit configs override the preset. Accepts a path or a
     pre-loaded state dict (incl. EMA-swapped dicts)."""
     if isinstance(path_or_state_dict, (str,)):
         from dpm_solver_tpu.utils.convert import load_torch_state_dict
@@ -305,15 +341,30 @@ def load_sd_checkpoint(path_or_state_dict, *,
     else:
         sd = {k: np.asarray(v) for k, v in path_or_state_dict.items()}
 
-    unet_config = unet_config or ADMConfig.sd_v1()
-    vae_config = vae_config or VAEConfig.sd_v1()
+    if preset not in _LDM_PRESETS:
+        raise ValueError(f"unknown preset {preset!r}; "
+                         f"one of {sorted(_LDM_PRESETS)}")
+    u_default, v_default, beta_kw, scale = _LDM_PRESETS[preset]
+    unet_config = unet_config or u_default()
+    vae_config = vae_config or v_default()
 
     unet_sd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
                if k.startswith("model.diffusion_model.")}
     if not unet_sd:
         raise ValueError("no model.diffusion_model.* keys in checkpoint")
     unet_params = convert_adm_unet(unet_sd, unet_config)
-    vae_params = convert_autoencoder_kl(sd, vae_config)
+
+    is_vq = any(k.endswith("quantize.embedding.weight") for k in sd)
+    if is_vq:
+        from dpm_solver_tpu.models.vae import VQModel, convert_vq_model
+
+        n_embed = next(np.asarray(v).shape[0] for k, v in sd.items()
+                       if k.endswith("quantize.embedding.weight"))
+        vae = VQModel(config=vae_config, n_embed=int(n_embed))
+        vae_params = convert_vq_model(sd, vae_config)
+    else:
+        vae = AutoencoderKL(config=vae_config)
+        vae_params = convert_autoencoder_kl(sd, vae_config)
 
     if parameterization is None:
         # SD-2.x checkpoints (linear transformer projections) are v-prediction
@@ -321,7 +372,8 @@ def load_sd_checkpoint(path_or_state_dict, *,
                             else "eps")
     return LatentDiffusion(
         unet=ADMUNet(config=unet_config), unet_params=unet_params,
-        vae=AutoencoderKL(config=vae_config), vae_params=vae_params,
+        vae=vae, vae_params=vae_params,
+        betas=make_ldm_betas(1000, **beta_kw), scale_factor=scale,
         text_encode=text_encode, parameterization=parameterization)
 
 

@@ -125,6 +125,26 @@ class LMDBReader:
 
     # -- public API ------------------------------------------------------
 
+    def close(self) -> None:
+        if getattr(self, "_buf", None) is not None:
+            self._buf.close()
+            self._buf = None
+        if getattr(self, "_file", None) is not None:
+            self._file.close()
+            self._file = None
+
+    def __enter__(self) -> "LMDBReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self):  # best-effort; close() is the real API
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
     def __len__(self) -> int:
         return self._main[6]
 
@@ -141,7 +161,32 @@ class LMDBReader:
         }
 
     def keys(self) -> List[bytes]:
-        return [k for k, _ in self.items()]
+        """All keys in order WITHOUT touching value bytes — on a mmap'd
+        multi-GB LSUN file this walks only the B+tree pages, like the
+        reference's keys-only cursor cache (datasets/lsun.py:31-36)."""
+        out: List[bytes] = []
+
+        def walk(pgno: int, depth: int = 0):
+            if depth > 64:
+                raise LMDBError(f"{self.path}: B+tree too deep (cycle?)")
+            base = pgno * self.psize
+            flags = struct.unpack_from("<H", self._buf, base + 10)[0]
+            if flags & P_LEAF:
+                for i in range(self._nkeys(base)):
+                    off = self._node_off(base, i)
+                    ksize = struct.unpack_from("<H", self._buf, off + 6)[0]
+                    out.append(bytes(self._buf[off + 8 : off + 8 + ksize]))
+            elif flags & P_BRANCH:
+                for i in range(self._nkeys(base)):
+                    walk(self._branch_entry(base, i)[1], depth + 1)
+            else:
+                raise LMDBError(
+                    f"{self.path}: unexpected page flags {flags:#x}")
+
+        root = self._main[7]
+        if root != P_INVALID:
+            walk(root)
+        return out
 
     def values(self) -> Iterator[bytes]:
         for _, v in self.items():

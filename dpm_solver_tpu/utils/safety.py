@@ -41,6 +41,9 @@ class SafetyChecker:
         self.image_embedder = image_embedder
         self.concept_embeds = np.asarray(concept_embeds, np.float32)
         self.concept_thresholds = np.asarray(concept_thresholds, np.float32)
+        if (special_embeds is None) != (special_thresholds is None):
+            raise ValueError("special_embeds and special_thresholds must be "
+                             "given together")
         self.special_embeds = (None if special_embeds is None
                                else np.asarray(special_embeds, np.float32))
         self.special_thresholds = (None if special_thresholds is None
@@ -86,10 +89,13 @@ def load_safety_checker(path: str, image_embedder: Callable,
     for k in need:
         if k not in sd:
             raise ValueError(f"{path}: missing {k} (not a safety checker?)")
+    has_special = ("special_care_embeds" in sd
+                   and "special_care_embeds_weights" in sd)
     return SafetyChecker(
         image_embedder,
         concept_embeds=sd["concept_embeds"],
         concept_thresholds=sd["concept_embeds_weights"],
-        special_embeds=sd.get("special_care_embeds"),
-        special_thresholds=sd.get("special_care_embeds_weights"),
+        special_embeds=sd["special_care_embeds"] if has_special else None,
+        special_thresholds=(sd["special_care_embeds_weights"]
+                            if has_special else None),
         replacement=replacement)

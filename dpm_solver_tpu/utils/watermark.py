@@ -116,6 +116,12 @@ def put_watermark(img: np.ndarray, wm: str = DEFAULT_WM) -> np.ndarray:
     if h % 4 or w % 4:
         raise ValueError("image sides must be divisible by 4")
     bits = _bits(wm.encode("utf-8"))
+    n_blocks = (h // 2 // _BLOCK) * (w // 2 // _BLOCK)
+    if n_blocks < len(bits):
+        raise ValueError(
+            f"image too small for a {len(bits)}-bit payload: "
+            f"{n_blocks} embeddable blocks per plane; need >= 1 per bit "
+            f"(min side ~{8 * int(np.ceil(np.sqrt(len(bits))))} px square)")
     yuv = _rgb_to_yuv(arr.astype(np.float64))
     for ch in (1, 2):  # chroma planes only, as dwtDct does
         yuv[..., ch] = _embed_plane(yuv[..., ch], bits)

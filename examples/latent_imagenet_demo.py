@@ -48,7 +48,9 @@ def main():
 
     labels = np.asarray([int(c) for c in args.classes.split(",")])
     if args.ckpt:
-        ldm = load_sd_checkpoint(args.ckpt)
+        # cin256 preset: VQ-f4 first stage + 192-ch crossattn UNet + the
+        # 0.0015..0.0195 schedule (configs/latent-diffusion/cin256-v2.yaml)
+        ldm = load_sd_checkpoint(args.ckpt, preset="cin256")
         embed_dim = args.embed_dim
     else:
         print("no --ckpt: tiny random-weight bundle (structure demo only)")

@@ -91,7 +91,9 @@ def main():
     print(f"DPM-Solver: {args.steps} NFE")
 
     # --- cell: likelihood (bits/dim via Hutchinson + RK45) ---
-    lf = get_likelihood_fn(sde, score_fn)
+    # data is centered [-1,1] -> inverse-scaler gradient 0.5 (see
+    # get_likelihood_fn docs); without it bpd is offset by +1 bit/dim
+    lf = get_likelihood_fn(sde, score_fn, inverse_scaler_grad=0.5)
     bpd = lf(jax.random.fold_in(rng, 2),
              jnp.clip((x_dpm + 1.0) / 2.0, 0.0, 1.0) * 2.0 - 1.0)[0]
     print(f"bits/dim of the DPM samples: {np.asarray(bpd).mean():.3f}")

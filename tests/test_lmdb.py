@@ -143,3 +143,13 @@ def test_lsun_dataset_pipeline(tmp_path):
     assert batch.dtype == np.float32
     assert batch.min() >= -1.0 and batch.max() <= 1.0
     assert np.std(batch) > 0.1  # real image content survived the trip
+
+
+def test_reader_context_manager_and_keys_only_walk(tmp_path):
+    items = {f"k{i:04d}".encode(): b"v" * 2000 for i in range(300)}
+    path = write_lmdb(str(tmp_path / "db"), items.items())
+    with LMDBReader(path) as r:
+        ks = r.keys()
+        assert ks == sorted(items)
+    assert r._buf is None  # closed
+    r.close()  # idempotent

@@ -186,3 +186,50 @@ def test_spatial_rescaler():
     assert y2.shape == (2, 4, 4, 4)
     import numpy as np
     np.testing.assert_allclose(np.asarray(y2), 1.0, atol=1e-6)
+
+
+def test_searcher_rejects_mismatched_shards(tmp_path):
+    np.savez(tmp_path / "a.npz", embedding=np.zeros((4, D), np.float32),
+             img_id=np.arange(4))
+    np.savez(tmp_path / "b.npz", embedding=np.zeros((4, D), np.float32))
+    with pytest.raises(ValueError, match="carries keys"):
+        Searcher(str(tmp_path))
+
+
+def test_ldm_presets_table():
+    from dpm_solver_tpu.pipelines.stable_diffusion import _LDM_PRESETS
+
+    u, v, bkw, scale = _LDM_PRESETS["cin256"]
+    assert v().double_z is False and v().z_channels == 3  # VQ-f4
+    assert u().context_dim == 512 and u().model_channels == 192
+    assert bkw == dict(linear_start=0.0015, linear_end=0.0195)
+    assert scale == 1.0
+    assert _LDM_PRESETS["rdm_768"][3] == 0.22765929
+
+
+def test_latent_diffusion_vq_first_stage():
+    """VQ bundles route encode/decode through VQModel (decode QUANTIZES by
+    default per VQModelInterface), not AutoencoderKL's methods."""
+    from dpm_solver_tpu.models.vae import VQModel, VAEConfig
+
+    cfg = VAEConfig.tiny(resolution=16, attn_resolutions=(), double_z=False,
+                         z_channels=3, embed_dim=3)
+    vq = VQModel(config=cfg, n_embed=16)
+    vp = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    model = _tiny_rdm(z_channels=3)
+    import dataclasses
+
+    model = dataclasses.replace(model, vae=vq, vae_params=vp,
+                                scale_factor=1.0)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3),
+                             minval=-1.0, maxval=1.0)
+    z = model.encode_first_stage(img)
+    assert z.shape == (2, 8, 8, 3)
+    dec = model.decode_first_stage(z)
+    assert dec.shape == (2, 16, 16, 3)
+    # decode quantized: equals decoding the codebook-snapped latent
+    snapped, _, _ = vq.apply(vp, z, method=lambda m, h: m.quantize(h))
+    dec2 = vq.apply(vp, snapped, method=VQModel.decode,
+                    force_not_quantize=True)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(dec2),
+                               rtol=1e-5, atol=1e-5)

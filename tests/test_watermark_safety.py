@@ -147,3 +147,18 @@ def test_safety_replacement_image():
     checked, flags = checker(images)
     assert flags[0]
     np.testing.assert_array_equal(checked[0], rep)
+
+
+def test_watermark_capacity_guard():
+    with pytest.raises(ValueError, match="too small"):
+        put_watermark(_photo(h=32, w=32))  # 16 blocks < 136 bits
+    # but a short payload fits
+    out = put_watermark(_photo(h=32, w=32, seed=1), "ok")
+    assert decode_watermark(out, 16) == b"ok"
+
+
+def test_safety_special_requires_thresholds():
+    with pytest.raises(ValueError, match="together"):
+        SafetyChecker(lambda x: np.zeros((1, D), np.float32),
+                      np.ones((1, D)), concept_thresholds=[0.5],
+                      special_embeds=np.ones((1, D)))
