@@ -143,3 +143,59 @@ def kid_from_features(f_gen, f_ref, *, max_block: int = 1024,
         term_y = (kyy.sum() - np.trace(kyy)) / (l * (l - 1))
         vals.append(term_x + term_y - 2.0 * kxy.mean())
     return float(np.mean(vals))
+
+
+def compute_statistics_of_path(path: str, feature_fn, *, batch_size: int = 50):
+    """(mu, sigma) of a sample source (ref evaluate/fid_score.py:231-243):
+    an ``.npz`` of precomputed stats (``mu``/``sigma``), an ``.npz`` of
+    images, or a directory of PNG/JPEG files. ``feature_fn`` maps [0,1]
+    NHWC batches -> (features, logits) (eval.inception.make_feature_fn)."""
+    import os
+
+    import jax.numpy as jnp
+
+    if path.endswith(".npz"):
+        with np.load(path) as f:
+            if "mu" in f.files and "sigma" in f.files:
+                return f["mu"][:], f["sigma"][:]
+            key = "samples" if "samples" in f.files else f.files[0]
+            arr = np.asarray(f[key], np.float32)
+            if arr.dtype == np.uint8 or arr.max() > 1.5:
+                arr = arr / 255.0
+            batches = [arr[i:i + batch_size]
+                       for i in range(0, len(arr), batch_size)]
+    else:
+        from PIL import Image
+
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        if not files:
+            raise FileNotFoundError(f"no images under {path}")
+
+        def gen():
+            buf = []
+            for f in files:
+                buf.append(np.asarray(Image.open(f).convert("RGB"),
+                                      np.float32) / 255.0)
+                if len(buf) == batch_size:
+                    yield np.stack(buf)
+                    buf = []
+            if buf:
+                yield np.stack(buf)
+
+        batches = gen()
+
+    feats = [np.asarray(feature_fn(jnp.asarray(b))[0]) for b in batches]
+    return compute_statistics(np.concatenate(feats))
+
+
+def calculate_fid_given_paths(paths, feature_fn, *, batch_size: int = 50
+                              ) -> float:
+    """FID between two sample sources (ref fid_score.py:246-262). Each path
+    may be an image folder, an images npz, or a precomputed-stats npz."""
+    m1, s1 = compute_statistics_of_path(paths[0], feature_fn,
+                                        batch_size=batch_size)
+    m2, s2 = compute_statistics_of_path(paths[1], feature_fn,
+                                        batch_size=batch_size)
+    return frechet_distance(m1, s1, m2, s2)

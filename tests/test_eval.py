@@ -151,3 +151,53 @@ def test_fid_inception_forward_and_converter():
     fn = make_feature_fn(params, resize_input=False, jit=False)
     f2, l2 = fn(x)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(feats), atol=1e-6)
+
+
+def test_calculate_fid_given_paths(tmp_path):
+    """Folder/npz path-based FID entry (ref fid_score.py:231-262): stats
+    npz short-circuits; identical folders give FID ~ 0."""
+    import numpy as np
+    from PIL import Image
+
+    from dpm_solver_tpu.eval.fid import (
+        calculate_fid_given_paths,
+        compute_statistics,
+        compute_statistics_of_path,
+    )
+
+    def feature_fn(batch):
+        # stub extractor: channel means + coarse pooled pixels
+        b = np.asarray(batch, np.float32)
+        pooled = b.reshape(b.shape[0], 4, b.shape[1] // 4,
+                           4, b.shape[2] // 4, 3).mean((2, 4))
+        return pooled.reshape(b.shape[0], -1), None
+
+    rng = np.random.default_rng(0)
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    imgs = rng.integers(0, 256, (24, 16, 16, 3), dtype=np.uint8)
+    for i, im in enumerate(imgs):
+        Image.fromarray(im).save(folder / f"{i:03d}.png")
+
+    # same distribution both ways -> FID ~ 0
+    fid_same = calculate_fid_given_paths([str(folder), str(folder)],
+                                         feature_fn, batch_size=7)
+    assert abs(fid_same) < 1e-6
+
+    # npz stats path short-circuits the extractor
+    feats, _ = feature_fn(imgs / 255.0)
+    mu, sigma = compute_statistics(feats)
+    np.savez(tmp_path / "stats.npz", mu=mu, sigma=sigma)
+    fid_stats = calculate_fid_given_paths(
+        [str(tmp_path / "stats.npz"), str(folder)], feature_fn, batch_size=7)
+    assert abs(fid_stats) < 1e-4
+
+    # a shifted distribution is far
+    np.savez(tmp_path / "other.npz",
+             samples=np.clip(imgs / 255.0 + 0.3, 0, 1).astype(np.float32))
+    fid_diff = calculate_fid_given_paths(
+        [str(tmp_path / "other.npz"), str(folder)], feature_fn, batch_size=7)
+    assert fid_diff > fid_same + 0.01
+
+    m, s = compute_statistics_of_path(str(folder), feature_fn, batch_size=7)
+    np.testing.assert_allclose(m, mu, atol=1e-5)
