@@ -1,0 +1,136 @@
+"""SD-2.1-class serving benchmark: 20-NFE CFG sampling throughput per chip.
+
+Reproduces the README's serving-envelope numbers: the full text-to-image
+latent path — CFG-doubled 866M-param SD-2.1 UNet (v-prediction), 20-step
+DPM-Solver++(2M) as ONE compiled XLA program, then the VAE decode — with
+random weights (throughput is weight-independent) at the given batch size.
+
+The BASELINE target is >=2x diffusers samples/sec/chip for SD-2.1 @ 20
+NFE on v5e-8. diffusers is not installed in this image, so the in-repo
+comparison is the reference-style per-step driver (one jitted UNet+update
+dispatch per NFE — how torch/diffusers execute); the absolute
+samples/s/chip number is recorded for the external comparison.
+
+Run on a TPU host: python benchmarks/sd_bench.py [--batch 4] [--steps 20]
+(~10-20 min: two big XLA compiles dominate; add --latent 32 for a quick
+structural smoke run on CPU.)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def sync(out):
+    """Device-side scalar fetch: block_until_ready does not block through
+    the tunneled axon backend (see CLAUDE.md)."""
+    import jax
+
+    return float(jax.tree.leaves(out)[0].ravel()[0])
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--scale", type=float, default=7.5)
+    p.add_argument("--latent", type=int, default=96,
+                   help="latent side (96 = 768px SD-2.1 native; use small "
+                        "values for structural smoke runs)")
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--skip-vae", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="replace the 866M UNet with a structurally identical "
+                        "small one (CPU smoke runs; numbers meaningless)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from dpm_solver_tpu import NoiseScheduleVP, build_sampler, model_wrapper
+    from dpm_solver_tpu.models import ADMConfig, ADMUNet
+    from dpm_solver_tpu.models.vae import AutoencoderKL, VAEConfig
+    from dpm_solver_tpu.pipelines import make_ldm_betas
+
+    import dataclasses
+
+    ucfg = ADMConfig.sd_v2_1()
+    if args.tiny:
+        # model_channels must stay a multiple of num_head_channels=64
+        ucfg = dataclasses.replace(ucfg, model_channels=64,
+                                   num_res_blocks=1, channel_mult=(1, 2))
+    unet = ADMUNet(config=ucfg, compute_dtype=jnp.bfloat16)
+    ctx = jnp.zeros((2 * args.batch, 77, ucfg.context_dim), jnp.float32)
+    t0 = time.perf_counter()
+    params = jax.jit(lambda r: unet.init(
+        r, jnp.zeros((1, args.latent, args.latent, 4)), jnp.ones((1,)),
+        None, ctx[:1], deterministic=True))(jax.random.key(0))
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"# unet init: {n_params/1e6:.0f}M params, "
+          f"{time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+
+    ns = NoiseScheduleVP.discrete(betas=make_ldm_betas())
+    cond, uncond = ctx[: args.batch], ctx[args.batch:]
+    model_fn = model_wrapper(
+        lambda x, t, c: unet.apply(params, x, t, None, c,
+                                   deterministic=True),
+        ns, model_type="v", guidance_type="classifier-free",
+        condition=cond, unconditional_condition=uncond,
+        guidance_scale=args.scale)
+    fn = build_sampler(model_fn, ns, steps=args.steps, order=2,
+                       method="multistep", skip_type="time_uniform")
+
+    if args.skip_vae:
+        pipe = jax.jit(fn)
+    else:
+        vae = AutoencoderKL(config=VAEConfig.sd_v1(),
+                            dtype=jnp.bfloat16)
+        vae_params = jax.jit(lambda r: vae.init(
+            r, jnp.zeros((1, 8 * args.latent, 8 * args.latent, 3))))(
+                jax.random.key(1))
+        print("# vae init done", file=sys.stderr, flush=True)
+
+        def pipe_fn(x_T):
+            z = fn(x_T)
+            return vae.apply(vae_params, z / 0.18215,
+                             method=AutoencoderKL.decode)
+
+        pipe = jax.jit(pipe_fn)
+
+    x_T = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (args.batch, args.latent, args.latent, 4)), jnp.float32)
+    t0 = time.perf_counter()
+    sync(pipe(x_T))
+    print(f"# compile+warm: {time.perf_counter()-t0:.0f}s", file=sys.stderr,
+          flush=True)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(args.reps):
+        out = pipe(x_T)
+    sync(out)
+    dt = (time.perf_counter() - t0) / args.reps
+
+    sps = args.batch / dt
+    print(f"# {dt*1e3:.0f} ms/batch of {args.batch} "
+          f"({dt*1e3/args.batch:.0f} ms/image)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"sd21_{args.steps}nfe_cfg_samples_per_sec_per_chip",
+        "value": round(sps, 3),
+        "unit": "samples/s",
+        "batch": args.batch,
+        "latent": args.latent,
+        "vae_decode": not args.skip_vae,
+    }))
+
+
+if __name__ == "__main__":
+    main()
