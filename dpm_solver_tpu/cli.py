@@ -579,6 +579,28 @@ def main(argv=None):
     cp.add_argument("--outdir", default="./outputs")
     cp.set_defaults(fn=cmd_clscond)
 
+    fp = sub.add_parser("fid", help="FID between two sample sources "
+                                    "(image folder / images npz / stats npz)")
+    fp.add_argument("paths", nargs=2)
+    fp.add_argument("--inception-ckpt", required=True,
+                    help="local torch FID-InceptionV3 checkpoint")
+    fp.add_argument("--batch-size", type=int, default=50)
+
+    def _fid(a):
+        from dpm_solver_tpu.eval.fid import calculate_fid_given_paths
+        from dpm_solver_tpu.eval.inception import (
+            convert_fid_inception,
+            make_feature_fn,
+        )
+        from dpm_solver_tpu.utils.convert import load_torch_state_dict
+
+        feature_fn = make_feature_fn(convert_fid_inception(
+            load_torch_state_dict(a.inception_ckpt)))
+        print(calculate_fid_given_paths(a.paths, feature_fn,
+                                        batch_size=a.batch_size))
+
+    fp.set_defaults(fn=_fid)
+
     wd = sub.add_parser("wmdecode",
                         help="decode an invisible watermark from an image "
                              "(ref scripts/tests/test_watermark.py)")
