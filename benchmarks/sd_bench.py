@@ -50,10 +50,16 @@ def main():
                         "small one (CPU smoke runs; numbers meaningless)")
     args = p.parse_args()
 
+    import os
+
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    cache = os.path.expanduser("~/.cache/dpm_solver_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from dpm_solver_tpu import NoiseScheduleVP, build_sampler, model_wrapper
