@@ -53,10 +53,18 @@ def _build_sampler_from_config(config, params, model, *, labels=None,
 
     scfg = config.sampling
     d = config.data
-    # the table comes from the config's diffusion block — e.g. imagenet64's
-    # iDDPM is cosine with 4000 steps, NOT linear/1000
+    tcfg = config.training
+    # continuously-trained score_sde nets use the closed-form linear
+    # schedule + t*999 labels (ref sampling.py:562,571 get_dpm_solver_sampler
+    # / models/utils.py get_noise_fn); discrete nets use the beta table —
+    # e.g. imagenet64's iDDPM is cosine with 4000 steps, NOT linear/1000
     # (configs/imagenet64.yml diffusion: beta_schedule: cosine)
-    ns = NoiseScheduleVP.discrete(betas=config.diffusion.betas())
+    continuous_score = (config.model_family == "ncsnpp" and tcfg.continuous
+                        and tcfg.sde in ("vpsde", "subvpsde"))
+    if continuous_score:
+        ns = NoiseScheduleVP.linear(tcfg.beta_min, tcfg.beta_max)
+    else:
+        ns = NoiseScheduleVP.discrete(betas=config.diffusion.betas())
 
     mc = config.model_config
     split_mean = getattr(mc, "out_channels", d.channels) == 2 * d.channels
@@ -66,7 +74,11 @@ def _build_sampler_from_config(config, params, model, *, labels=None,
             from dpm_solver_tpu.models.adm_unet import super_res_inputs
 
             x = super_res_inputs(x, low_res)
-        if config.model_family == "ddpm_unet":
+        if continuous_score:
+            # wrapper passes continuous t through unchanged for
+            # non-discrete schedules; the net's label is t*999
+            out = model.apply(params, x, t * 999.0, deterministic=True)
+        elif config.model_family == "ddpm_unet":
             out = model.apply(params, x, t)
         elif labels is not None:
             out = model.apply(params, x, t, labels, deterministic=True)
@@ -112,13 +124,29 @@ def cmd_sample(args):
         )
 
         if config.model_family == "ncsnpp":
-            # score_sde checkpoints are flax State files, not torch
             from dpm_solver_tpu.models.ncsnpp_convert import (
                 load_score_sde_checkpoint,
+                load_score_sde_torch_checkpoint,
                 params_from_reference,
             )
 
-            params = params_from_reference(
+            if args.ckpt.endswith((".pth", ".pt", ".ckpt")):
+                # score_sde_pytorch checkpoint (torch pickle)
+                params = load_score_sde_torch_checkpoint(
+                    args.ckpt, config.model_config)
+            else:
+                # score_sde_jax checkpoints are flax State files
+                params = params_from_reference(
+                    load_score_sde_checkpoint(args.ckpt), config.model_config)
+        elif config.model_family == "ncsnv2":
+            from dpm_solver_tpu.models.ncsnpp_convert import (
+                load_score_sde_checkpoint,
+            )
+            from dpm_solver_tpu.models.ncsnv2 import (
+                ncsnv2_params_from_reference,
+            )
+
+            params = ncsnv2_params_from_reference(
                 load_score_sde_checkpoint(args.ckpt), config.model_config)
         elif config.model_family == "ddpm_unet":
             params = convert_ddpm_unet(load_torch_state_dict(args.ckpt))
@@ -159,6 +187,39 @@ def cmd_sample(args):
         if arr.shape[0] < args.batch:
             raise SystemExit(f"--base-samples holds {arr.shape[0]} images "
                              f"< batch {args.batch}")
+    if config.training.sde == "vesde" and config.model_family in (
+            "ncsnpp", "ncsnv2"):
+        # VE checkpoints are not VP-form, so DPM-Solver does not apply; the
+        # reference samples these with the PC loop (configs set
+        # sampling.method='pc'; run_lib.py VESDE sampling_eps = 1e-5)
+        from dpm_solver_tpu.run_lib import _make_sde
+        from dpm_solver_tpu.samplers import get_pc_sampler
+        from dpm_solver_tpu.score import get_score_fn
+
+        sde = _make_sde(config)
+
+        def raw_score(x, lab):
+            if config.model_family == "ncsnv2":
+                return model.apply(params, x, lab.astype(jnp.int32))
+            return model.apply(params, x, lab, deterministic=True)
+
+        score_fn = get_score_fn(sde, raw_score,
+                                continuous=config.training.continuous)
+        sampler = jax.jit(get_pc_sampler(
+            sde, score_fn, predictor=scfg.predictor,
+            corrector=scfg.corrector, snr=scfg.snr,
+            n_corrector_steps=scfg.n_steps_each, eps=1e-5))
+        rng = jax.random.PRNGKey(args.seed)
+        x_T = sde.prior_sampling(
+            rng, (args.batch, d.image_size, d.image_size, d.channels))
+        out, nfe = sampler(x_T, jax.random.fold_in(rng, 1))
+        # VE data space is uncentered [0, 1]
+        imgs = np.clip(np.asarray(out), 0.0, 1.0)
+        _save_images(imgs, args.outdir)
+        print(f"wrote {imgs.shape[0]} samples to {args.outdir} "
+              f"(pc {scfg.predictor}/{scfg.corrector}, nfe={int(nfe)})")
+        return
+
     solver, _ = _build_sampler_from_config(
         config, params, model, labels=labels, classifier=classifier,
         classifier_params=classifier_params, low_res=low_res)

@@ -32,6 +32,12 @@ class SamplingConfig:
     rtol: float = 0.05
     guidance_scale: float = 1.0
     classifier_scale: float = 0.0
+    # PC-sampler knobs for VE-SDE configs (ref config.sampling.{predictor,
+    # corrector,snr,n_steps_each}); DPM-Solver is VP-form only
+    predictor: str = "reverse_diffusion"
+    corrector: str = "none"
+    snr: float = 0.16
+    n_steps_each: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +109,13 @@ class TrainingConfig:
     continuous: bool = True
     reduce_mean: bool = True
     likelihood_weighting: bool = False
+    # SDE parameters (ref default_*_configs.py model.{beta_min,beta_max,
+    # sigma_min,sigma_max,num_scales})
+    beta_min: float = 0.1
+    beta_max: float = 20.0
+    sigma_min: float = 0.01
+    sigma_max: float = 50.0
+    num_scales: int = 1000
 
 
 @dataclasses.dataclass(frozen=True)
@@ -310,6 +323,148 @@ def _score_sde_vp() -> Config:
     )
 
 
+# --------------------------------------------------------------------------- #
+# score_sde experiment matrix (ref score_sde_jax/configs/{vp,subvp,ve}/**)
+# --------------------------------------------------------------------------- #
+
+def _score_sde_config(name, *, sde, model_preset, continuous, dataset,
+                      image_size, centered, batch_size=128, eval_batch=1000,
+                      sigma_max=50.0, num_scales=1000, n_jitted_steps=5,
+                      family="ncsnpp", predictor="reverse_diffusion",
+                      corrector="none", snr=0.16, n_steps_each=1):
+    def make() -> Config:
+        from dpm_solver_tpu.models import (DDPMUNetConfig, NCSNppConfig,
+                                           NCSNv2Config)
+
+        presets = {
+            "ddpmpp": lambda: NCSNppConfig.cifar10_ddpmpp(),
+            "ddpmpp_deep": lambda: NCSNppConfig.cifar10_ddpmpp(deep=True),
+            "ncsnpp_vp": lambda: NCSNppConfig.cifar10_ncsnpp_vp(),
+            "ncsnpp_vp_deep": lambda: NCSNppConfig.cifar10_ncsnpp_vp(True),
+            "ncsnpp_ve": lambda: NCSNppConfig.cifar10_ncsnpp(),
+            "ncsnpp_ve_deep": lambda: NCSNppConfig.cifar10_ncsnpp(deep=True),
+            "ncsnpp_celeba64": NCSNppConfig.celeba64,
+            "ncsnpp_px256": NCSNppConfig.px256,
+            "ncsnpp_px1024": NCSNppConfig.px1024,
+            "ddpm": DDPMUNetConfig.cifar10,
+            "ncsnv2_cifar10": NCSNv2Config.cifar10,
+            "ncsnv2_celeba": lambda: dataclasses.replace(
+                NCSNv2Config.cifar10(), image_size=64, num_scales=500,
+                sigma_max=90.0),
+            "ncsnv2_bedroom": lambda: dataclasses.replace(
+                NCSNv2Config.px128(), num_scales=1086, sigma_max=190.0),
+        }
+        mc = presets[model_preset]()
+        if family == "ncsnpp" and mc.image_size != image_size:
+            mc = dataclasses.replace(mc, image_size=image_size)
+        return Config(
+            name=name, model_family=family, model_config=mc,
+            data=DataConfig(dataset=dataset, image_size=image_size,
+                            centered=centered,
+                            uniform_dequantization=False),
+            sampling=SamplingConfig(order=3, steps=10, skip_type="logSNR",
+                                    method="singlestep", t_end=1e-3,
+                                    predictor=predictor, corrector=corrector,
+                                    snr=snr, n_steps_each=n_steps_each),
+            training=TrainingConfig(
+                batch_size=batch_size, sde=sde + "sde",
+                continuous=continuous, reduce_mean=False,
+                n_jitted_steps=n_jitted_steps, sigma_max=sigma_max,
+                num_scales=num_scales),
+            eval=EvalConfig(batch_size=eval_batch, num_samples=50_000),
+        )
+
+    _REGISTRY[name] = make
+    return make
+
+
+def _register_score_sde_matrix():
+    """The reference's per-experiment config tree, one registry entry per
+    file (score_sde_jax/configs/{vp,subvp,ve}/*.py + ve/ncsnv2/*). NCSN v1
+    configs (ve/ncsn/*) are served by `NCSNv2Config(conditional_norm=True)`
+    but have no published checkpoints, so they are not registered."""
+    C = dict(dataset="cifar10", image_size=32, centered=True)
+    CU = dict(dataset="cifar10", image_size=32, centered=False)
+    # CIFAR-10: vp / subvp (ref configs/{vp,subvp}/cifar10_*.py)
+    for sde in ("vp", "subvp"):
+        for preset, deep in (("ddpmpp", False), ("ddpmpp_deep", True),
+                             ("ncsnpp_vp", False), ("ncsnpp_vp_deep", True)):
+            arch = "ddpmpp" if preset.startswith("ddpmpp") else "ncsnpp"
+            d = "_deep" if deep else ""
+            if sde == "vp":  # vp has discrete twins; subvp is continuous-only
+                if not deep:
+                    _score_sde_config(
+                        f"score_sde_cifar10_vp_{arch}", sde="vp",
+                        model_preset=preset, continuous=False, **C)
+                _score_sde_config(
+                    f"score_sde_cifar10_vp_{arch}{d}_continuous", sde="vp",
+                    model_preset=preset, continuous=True, **C)
+            else:
+                _score_sde_config(
+                    f"score_sde_cifar10_subvp_{arch}{d}_continuous",
+                    sde="subvp", model_preset=preset, continuous=True, **C)
+    _score_sde_config("score_sde_cifar10_subvp_ddpm_continuous", sde="subvp",
+                      model_preset="ddpm", continuous=True,
+                      family="ddpm_unet", **C)
+    _score_sde_config("score_sde_cifar10_vp_ddpm", sde="vp",
+                      model_preset="ddpm", continuous=False,
+                      family="ddpm_unet", **C)
+    _score_sde_config("score_sde_cifar10_vp_ddpm_continuous", sde="vp",
+                      model_preset="ddpm", continuous=True,
+                      family="ddpm_unet", **C)
+    # CIFAR-10: ve (ref configs/ve/cifar10_*.py)
+    VE = dict(corrector="langevin", snr=0.16)
+    _score_sde_config("score_sde_cifar10_ve_ddpm", sde="ve",
+                      model_preset="ddpm", continuous=False,
+                      family="ddpm_unet", **VE, **CU)
+    _score_sde_config("score_sde_cifar10_ve_ncsnpp", sde="ve",
+                      model_preset="ncsnpp_ve", continuous=False, **VE, **CU)
+    _score_sde_config("score_sde_cifar10_ve_ncsnpp_continuous", sde="ve",
+                      model_preset="ncsnpp_ve", continuous=True, **VE, **CU)
+    _score_sde_config("score_sde_cifar10_ve_ncsnpp_deep_continuous",
+                      sde="ve", model_preset="ncsnpp_ve_deep",
+                      continuous=True, **VE, **CU)
+    # high-res VE NCSN++ (ref configs/ve/{celeba,celebahq,ffhq,church,
+    # bedroom}*.py; sigma_max per file / default_{celeba,lsun}_configs.py)
+    _score_sde_config("score_sde_celeba64_ve_ncsnpp", sde="ve",
+                      model_preset="ncsnpp_celeba64", continuous=False,
+                      dataset="celeba", image_size=64, centered=False,
+                      sigma_max=90.0, eval_batch=500,
+                      corrector="langevin", snr=0.17)
+    for nm, ds, smax in (("celebahq256", "celebahq", 348.0),
+                         ("ffhq256", "ffhq", 348.0),
+                         ("church", "lsun_church", 380.0),
+                         ("bedroom", "lsun_bedroom", 378.0)):
+        _score_sde_config(f"score_sde_{nm}_ve_ncsnpp_continuous", sde="ve",
+                          model_preset="ncsnpp_px256", continuous=True,
+                          dataset=ds, image_size=256, centered=False,
+                          batch_size=64, eval_batch=64, sigma_max=smax,
+                          num_scales=2000, corrector="langevin", snr=0.075)
+    for nm, ds in (("celebahq1024", "celebahq"), ("ffhq1024", "ffhq")):
+        _score_sde_config(f"score_sde_{nm}_ve_ncsnpp_continuous", sde="ve",
+                          model_preset="ncsnpp_px1024", continuous=True,
+                          dataset=ds, image_size=1024, centered=False,
+                          batch_size=8, eval_batch=8, sigma_max=1348.0,
+                          num_scales=2000, corrector="langevin", snr=0.075)
+    # legacy NCSNv2 (ref configs/ve/ncsnv2/*.py: annealed Langevin only)
+    V2 = dict(predictor="none", corrector="ald", snr=0.176, n_steps_each=5)
+    _score_sde_config("score_sde_cifar10_ve_ncsnv2", sde="ve",
+                      model_preset="ncsnv2_cifar10", continuous=False,
+                      family="ncsnv2", num_scales=232, **V2, **CU)
+    _score_sde_config("score_sde_celeba64_ve_ncsnv2", sde="ve",
+                      model_preset="ncsnv2_celeba", continuous=False,
+                      family="ncsnv2", dataset="celeba", image_size=64,
+                      centered=False, sigma_max=90.0, num_scales=500, **V2)
+    _score_sde_config("score_sde_bedroom_ve_ncsnv2", sde="ve",
+                      model_preset="ncsnv2_bedroom", continuous=False,
+                      family="ncsnv2", dataset="lsun_bedroom",
+                      image_size=128, centered=False, sigma_max=190.0,
+                      num_scales=1086, batch_size=32, eval_batch=64, **V2)
+
+
+_register_score_sde_matrix()
+
+
 @register_config("tiny_test")
 def _tiny_test() -> Config:
     """Small DDPM UNet at 16px: smoke tests, docs examples, CI."""
@@ -326,6 +481,24 @@ def _tiny_test() -> Config:
                                 snapshot_freq_for_preemption=2, log_freq=1),
         eval=EvalConfig(batch_size=4, num_samples=4, begin_ckpt=1,
                         end_ckpt=100),
+    )
+
+
+@register_config("tiny_ve_ncsnv2")
+def _tiny_ve_ncsnv2() -> Config:
+    """Small NCSNv2 under a 10-scale VE ladder: smoke tests for the legacy
+    annealed-Langevin (PC) sampling path."""
+    from dpm_solver_tpu.models import NCSNv2Config
+
+    return Config(
+        name="tiny_ve_ncsnv2", model_family="ncsnv2",
+        model_config=NCSNv2Config.tiny(),
+        data=DataConfig(dataset="arrays", image_size=16, centered=False),
+        sampling=SamplingConfig(predictor="none", corrector="ald",
+                                snr=0.176, n_steps_each=2),
+        training=TrainingConfig(sde="vesde", continuous=False, batch_size=8,
+                                num_scales=10, sigma_max=50.0),
+        eval=EvalConfig(batch_size=4, num_samples=4),
     )
 
 

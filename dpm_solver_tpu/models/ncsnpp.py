@@ -91,6 +91,43 @@ class NCSNppConfig:
         )
 
     @staticmethod
+    def cifar10_ncsnpp_vp(deep: bool = False) -> "NCSNppConfig":
+        """VP/subVP NCSN++: configs/{vp,subvp}/cifar10_ncsnpp*_continuous.py
+        (FIR + residual input pyramid, positional embedding, no σ-scaling)."""
+        return NCSNppConfig(num_res_blocks=8 if deep else 4, fir=True,
+                            progressive_input="residual")
+
+    @staticmethod
+    def celeba64() -> "NCSNppConfig":
+        """VE NCSN++ @64px: configs/ve/celeba_ncsnpp.py (positional
+        embedding, discrete sigma ladder)."""
+        return NCSNppConfig(num_res_blocks=4, fir=True,
+                            progressive_input="residual",
+                            scale_by_sigma=True, data_centered=False,
+                            image_size=64)
+
+    @staticmethod
+    def px256() -> "NCSNppConfig":
+        """VE NCSN++ @256px: configs/ve/{celebahq_256,ffhq_256,church,
+        bedroom}_ncsnpp_continuous.py (7-level pyramid, output_skip +
+        input_skip progressive, Fourier embedding)."""
+        return NCSNppConfig(
+            ch_mult=(1, 1, 2, 2, 2, 2, 2), num_res_blocks=2, dropout=0.0,
+            fir=True, progressive="output_skip",
+            progressive_input="input_skip", embedding_type="fourier",
+            scale_by_sigma=True, data_centered=False, image_size=256)
+
+    @staticmethod
+    def px1024() -> "NCSNppConfig":
+        """VE NCSN++ @1024px: configs/ve/{celebahq,ffhq}_ncsnpp_continuous.py
+        (nf 16, 8-level pyramid)."""
+        return NCSNppConfig(
+            nf=16, ch_mult=(1, 2, 4, 8, 16, 32, 32, 32), num_res_blocks=1,
+            dropout=0.0, fir=True, progressive="output_skip",
+            progressive_input="input_skip", embedding_type="fourier",
+            scale_by_sigma=True, data_centered=False, image_size=1024)
+
+    @staticmethod
     def tiny(**overrides) -> "NCSNppConfig":
         base = dict(nf=32, ch_mult=(1, 2), num_res_blocks=2, dropout=0.0,
                     attn_resolutions=(8,), image_size=16)

@@ -53,6 +53,8 @@ def build_model(config: Config):
         model = models.DDPMUNet(mc)
     elif family == "ncsnpp":
         model = models.NCSNpp(config=mc)
+    elif family == "ncsnv2":
+        model = models.NCSNv2(config=mc)
     elif family in ("adm", "sd"):
         model = models.ADMUNet(config=mc)
     else:
@@ -74,6 +76,9 @@ def build_model(config: Config):
                 r, x, t, y, ctx, deterministic=True))(rng)
         if family == "ddpm_unet":
             return jax.jit(lambda r: model.init(r, x, t))(rng)
+        if family == "ncsnv2":
+            labels = jnp.zeros((1,), jnp.int32)
+            return jax.jit(lambda r: model.init(r, x, labels))(rng)
         return jax.jit(lambda r: model.init(r, x, t, deterministic=True))(rng)
 
     return model, init_fn
@@ -82,8 +87,12 @@ def build_model(config: Config):
 def _make_sde(config: Config):
     from dpm_solver_tpu.sde import SubVPSDE, VESDE, VPSDE
 
-    return {"vpsde": VPSDE, "subvpsde": SubVPSDE, "vesde": VESDE}[
-        config.training.sde]()
+    t = config.training
+    if t.sde == "vesde":
+        return VESDE(sigma_min=t.sigma_min, sigma_max=t.sigma_max,
+                     N=t.num_scales)
+    cls = {"vpsde": VPSDE, "subvpsde": SubVPSDE}[t.sde]
+    return cls(beta_0=t.beta_min, beta_1=t.beta_max, N=t.num_scales)
 
 
 def train(config: Config, data_iter: Iterator[np.ndarray], *,

@@ -1,0 +1,194 @@
+"""The score_sde experiment-config matrix and the VE (PC) CLI sampling path.
+
+The reference ships one config file per experiment under
+score_sde_jax/configs/{vp,subvp,ve}/** (SURVEY.md §2.3); our registry mirrors
+it entry-for-entry. Field values are asserted against the reference files
+(default_{cifar10,celeba,lsun}_configs.py + per-file overrides).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from dpm_solver_tpu.configs import get_config, list_configs
+from dpm_solver_tpu.run_lib import _make_sde, build_model
+
+EXPECTED = [
+    # configs/vp/cifar10_*.py
+    "score_sde_cifar10_vp_ddpmpp",
+    "score_sde_cifar10_vp_ddpmpp_continuous",
+    "score_sde_cifar10_vp_ddpmpp_deep_continuous",
+    "score_sde_cifar10_vp_ncsnpp",
+    "score_sde_cifar10_vp_ncsnpp_continuous",
+    "score_sde_cifar10_vp_ncsnpp_deep_continuous",
+    # configs/vp/ddpm/cifar10*.py
+    "score_sde_cifar10_vp_ddpm",
+    "score_sde_cifar10_vp_ddpm_continuous",
+    # configs/subvp/cifar10_*.py
+    "score_sde_cifar10_subvp_ddpm_continuous",
+    "score_sde_cifar10_subvp_ddpmpp_continuous",
+    "score_sde_cifar10_subvp_ddpmpp_deep_continuous",
+    "score_sde_cifar10_subvp_ncsnpp_continuous",
+    "score_sde_cifar10_subvp_ncsnpp_deep_continuous",
+    # configs/ve/cifar10_*.py
+    "score_sde_cifar10_ve_ddpm",
+    "score_sde_cifar10_ve_ncsnpp",
+    "score_sde_cifar10_ve_ncsnpp_continuous",
+    "score_sde_cifar10_ve_ncsnpp_deep_continuous",
+    # configs/ve high-res
+    "score_sde_celeba64_ve_ncsnpp",
+    "score_sde_celebahq256_ve_ncsnpp_continuous",
+    "score_sde_ffhq256_ve_ncsnpp_continuous",
+    "score_sde_church_ve_ncsnpp_continuous",
+    "score_sde_bedroom_ve_ncsnpp_continuous",
+    "score_sde_celebahq1024_ve_ncsnpp_continuous",
+    "score_sde_ffhq1024_ve_ncsnpp_continuous",
+    # configs/ve/ncsnv2/*.py
+    "score_sde_cifar10_ve_ncsnv2",
+    "score_sde_celeba64_ve_ncsnv2",
+    "score_sde_bedroom_ve_ncsnv2",
+]
+
+
+def test_matrix_registered_and_instantiable():
+    names = list_configs()
+    for n in EXPECTED:
+        assert n in names, n
+        cfg = get_config(n)
+        assert cfg.name == n
+        _make_sde(cfg)  # SDE parameters resolve
+
+
+def test_reference_field_values():
+    """Spot checks against the reference config files."""
+    c = get_config("score_sde_cifar10_vp_ddpmpp_deep_continuous")
+    assert c.model_config.num_res_blocks == 8
+    assert c.training.sde == "vpsde" and c.training.continuous
+    assert not c.model_config.fir
+
+    c = get_config("score_sde_cifar10_vp_ncsnpp_continuous")
+    # vp/cifar10_ncsnpp_continuous.py: fir + residual input pyramid,
+    # positional embedding, no sigma scaling, centered data
+    m = c.model_config
+    assert m.fir and m.progressive_input == "residual"
+    assert m.embedding_type == "positional" and not m.scale_by_sigma
+    assert c.data.centered
+
+    c = get_config("score_sde_cifar10_vp_ddpmpp")
+    assert not c.training.continuous  # discrete twin
+
+    c = get_config("score_sde_cifar10_ve_ncsnpp_deep_continuous")
+    m = c.model_config
+    assert m.embedding_type == "fourier" and m.scale_by_sigma
+    assert not c.data.centered
+    assert c.training.sigma_max == 50.0
+    assert c.sampling.corrector == "langevin" and c.sampling.snr == 0.16
+
+    c = get_config("score_sde_celeba64_ve_ncsnpp")
+    assert c.training.sigma_max == 90.0 and c.data.image_size == 64
+    assert c.model_config.embedding_type == "positional"
+
+    c = get_config("score_sde_celebahq256_ve_ncsnpp_continuous")
+    m = c.model_config
+    assert c.training.sigma_max == 348.0 and c.training.num_scales == 2000
+    assert m.ch_mult == (1, 1, 2, 2, 2, 2, 2)
+    assert m.progressive == "output_skip"
+    assert m.progressive_input == "input_skip"
+    assert c.sampling.snr == 0.075
+
+    c = get_config("score_sde_church_ve_ncsnpp_continuous")
+    assert c.training.sigma_max == 380.0
+
+    c = get_config("score_sde_ffhq1024_ve_ncsnpp_continuous")
+    m = c.model_config
+    assert m.nf == 16 and m.ch_mult == (1, 2, 4, 8, 16, 32, 32, 32)
+    assert c.training.sigma_max == 1348.0
+
+    c = get_config("score_sde_cifar10_ve_ncsnv2")
+    assert c.training.num_scales == 232
+    assert c.model_config.num_scales == 232
+    assert c.sampling.predictor == "none" and c.sampling.corrector == "ald"
+    assert c.sampling.n_steps_each == 5
+
+    c = get_config("score_sde_bedroom_ve_ncsnv2")
+    assert c.training.sigma_max == 190.0 and c.training.num_scales == 1086
+    assert c.data.image_size == 128
+
+
+def test_make_sde_uses_config_params():
+    from dpm_solver_tpu.sde import VESDE, VPSDE
+
+    sde = _make_sde(get_config("score_sde_celebahq256_ve_ncsnpp_continuous"))
+    assert isinstance(sde, VESDE)
+    assert sde.sigma_max == 348.0 and sde.N == 2000
+
+    sde = _make_sde(get_config("score_sde_cifar10_vp_ddpmpp_continuous"))
+    assert isinstance(sde, VPSDE)
+    assert sde.beta_0 == 0.1 and sde.beta_1 == 20.0
+
+
+def test_ncsnv2_family_builds_and_runs():
+    import jax
+    import jax.numpy as jnp
+
+    cfg = get_config("tiny_ve_ncsnv2")
+    model, init_fn = build_model(cfg)
+    params = init_fn(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    out = model.apply(params, x, jnp.array([0, 5], jnp.int32))
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_cli_ve_pc_sampling(tmp_path):
+    """`cli sample` on a vesde config routes to the PC (annealed Langevin)
+    sampler with the config's predictor/corrector, in [0,1] data space."""
+    from dpm_solver_tpu.cli import main
+
+    out = str(tmp_path / "out")
+    main(["sample", "--config", "tiny_ve_ncsnv2", "--batch", "2",
+          "--outdir", out])
+    arr = np.load(os.path.join(out, "sample.npz"))["samples"]
+    assert arr.shape == (2, 16, 16, 3)
+    assert np.isfinite(arr).all() and arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_continuous_vp_sampler_uses_linear_schedule():
+    """_build_sampler_from_config on a continuous score_sde config builds
+    the closed-form linear schedule (ref sampling.py:562), not the discrete
+    table, and feeds t*999 labels."""
+    import dataclasses
+
+    import jax
+
+    from dpm_solver_tpu.cli import _build_sampler_from_config
+    from dpm_solver_tpu.models import NCSNppConfig
+    from dpm_solver_tpu.run_lib import build_model
+
+    base = get_config("score_sde_cifar10_vp_ddpmpp_continuous")
+    cfg = dataclasses.replace(
+        base, model_config=NCSNppConfig.tiny(),
+        data=dataclasses.replace(base.data, image_size=16))
+    model, init_fn = build_model(cfg)
+    params = init_fn(jax.random.PRNGKey(0))
+
+    import types as _types
+
+    seen = []
+    orig_apply = model.apply
+
+    def spy_apply(p, x, t, **kw):
+        seen.append(t)
+        return orig_apply(p, x, t, **kw)
+
+    spy_model = _types.SimpleNamespace(apply=spy_apply)
+    solver, ns = _build_sampler_from_config(cfg, params, spy_model)
+    assert ns.schedule == "linear"
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    out = solver.sample(x, steps=4, t_start=1.0, t_end=1e-3, order=2,
+                        skip_type="logSNR", method="multistep")
+    assert np.isfinite(np.asarray(out)).all()
+    # probe the wrapped model eagerly: the net's label is t*999, not raw t
+    seen.clear()
+    solver.model_fn_raw(x, jax.numpy.full((2,), 0.5))
+    assert seen and abs(float(np.asarray(seen[0])[0]) - 0.5 * 999.0) < 1e-3
