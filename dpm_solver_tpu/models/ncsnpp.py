@@ -64,6 +64,11 @@ class NCSNppConfig:
     data_centered: bool = True
     image_size: int = 32
     image_channels: int = 3
+    # sigma ladder for discrete-VE positional nets (ref mutils.get_sigmas);
+    # the fourier path receives sigmas directly and ignores these
+    sigma_min: float = 0.01
+    sigma_max: float = 50.0
+    num_scales: int = 1000
 
     def __post_init__(self):
         assert self.resblock_type in ("biggan", "ddpm")
@@ -104,7 +109,7 @@ class NCSNppConfig:
         return NCSNppConfig(num_res_blocks=4, fir=True,
                             progressive_input="residual",
                             scale_by_sigma=True, data_centered=False,
-                            image_size=64)
+                            image_size=64, sigma_max=90.0, num_scales=1000)
 
     @staticmethod
     def px256() -> "NCSNppConfig":
@@ -314,10 +319,17 @@ class NCSNpp(nn.Module):
             used_sigmas = time_cond
         else:
             temb = timestep_embedding(time_cond, cfg.nf)
-            used_sigmas = None  # positional + scale_by_sigma needs a table
+            used_sigmas = None
             if cfg.scale_by_sigma:
-                raise NotImplementedError(
-                    "scale_by_sigma requires the fourier (continuous) path")
+                # discrete-VE nets (e.g. ve/celeba_ncsnpp.py): time_cond is
+                # an int sigma index into the geometric ladder
+                # (ref ncsnpp.py positional branch: sigmas[time_cond.astype])
+                from dpm_solver_tpu.models.ncsnv2 import get_sigmas
+
+                table = jnp.asarray(
+                    get_sigmas(cfg.sigma_min, cfg.sigma_max, cfg.num_scales),
+                    x.dtype)
+                used_sigmas = table[time_cond.astype(jnp.int32)]
         if cfg.conditional:
             temb = nn.Dense(cfg.nf * 4, kernel_init=ddpm_init(),
                             name="time_embed_0")(temb)

@@ -135,6 +135,31 @@ def train(config: Config, data_iter: Iterator[np.ndarray], *,
                               likelihood_weighting=tcfg.likelihood_weighting,
                               score_rng=True)
         step_fn = make_score_train_step(loss_fn, tx)
+    elif config.model_family in ("ncsnpp", "ncsnv2"):
+        # discretely-trained score nets use the legacy objectives on the
+        # sigma/beta ladder (ref losses.py:124-178 SMLD / legacy DDPM)
+        from dpm_solver_tpu.training.losses import (
+            ddpm_loss_fn,
+            make_score_train_step,
+            smld_loss_fn,
+        )
+
+        sde = _make_sde(config)
+        family = config.model_family
+
+        def apply_labels(p, x, labels):
+            if family == "ncsnv2":
+                return model.apply(p, x, labels.astype(jnp.int32))
+            return model.apply(p, x, labels.astype(jnp.float32),
+                               deterministic=True)
+
+        if tcfg.sde == "vesde":
+            loss_fn = smld_loss_fn(sde, apply_labels,
+                                   reduce_mean=tcfg.reduce_mean)
+        else:
+            loss_fn = ddpm_loss_fn(sde, apply_labels,
+                                   reduce_mean=tcfg.reduce_mean)
+        step_fn = make_score_train_step(loss_fn, tx)
     else:
         from dpm_solver_tpu.schedule import NoiseScheduleVP
         from dpm_solver_tpu.training.train import make_train_step

@@ -62,7 +62,8 @@ def _ref_config(cfg: NCSNppConfig):
         progressive_combine=cfg.progressive_combine, attention_type="ddpm",
         init_scale=cfg.init_scale, embedding_type=cfg.embedding_type,
         fourier_scale=cfg.fourier_scale, conv_size=3,
-        sigma_max=50.0, sigma_min=0.01, num_scales=1000,
+        sigma_max=cfg.sigma_max, sigma_min=cfg.sigma_min,
+        num_scales=cfg.num_scales,
     ))
     return c
 
@@ -76,6 +77,11 @@ CONFIG_MATRIX = {
         fir=True, progressive="output_skip", progressive_input="input_skip",
         embedding_type="fourier"),
     "ddpm_blocks": NCSNppConfig.tiny(resblock_type="ddpm", ch_mult=(1, 2, 2)),
+    # discrete-VE positional net with sigma-ladder output scaling
+    # (ref configs/ve/celeba_ncsnpp.py; ncsnpp.py:79-82 sigma table indexing)
+    "celeba_ve_discrete": NCSNppConfig.tiny(
+        fir=True, progressive_input="residual", scale_by_sigma=True,
+        data_centered=False, sigma_max=90.0),
 }
 
 

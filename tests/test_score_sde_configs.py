@@ -153,6 +153,25 @@ def test_cli_ve_pc_sampling(tmp_path):
     assert np.isfinite(arr).all() and arr.min() >= 0.0 and arr.max() <= 1.0
 
 
+def test_train_smld_discrete_ve(tmp_path):
+    """train() on a discrete VE config uses the legacy SMLD objective
+    (ref losses.py:124-150) and produces a resumable checkpoint."""
+    from dpm_solver_tpu.run_lib import train
+
+    cfg = get_config("tiny_ve_ncsnv2", workdir=str(tmp_path / "wd"))
+    rs = np.random.RandomState(0)
+
+    def it():
+        while True:
+            yield rs.rand(8, 16, 16, 3).astype(np.float32)
+
+    state = train(cfg, it(), max_steps=3)
+    assert int(state.step) == 3
+    leaves = [np.asarray(x) for x in
+              __import__("jax").tree.leaves(state.params)]
+    assert all(np.isfinite(a).all() for a in leaves)
+
+
 def test_continuous_vp_sampler_uses_linear_schedule():
     """_build_sampler_from_config on a continuous score_sde config builds
     the closed-form linear schedule (ref sampling.py:562), not the discrete

@@ -64,7 +64,8 @@ def _ref_config(cfg: NCSNppConfig):
         progressive_combine=cfg.progressive_combine, attention_type="ddpm",
         init_scale=cfg.init_scale, embedding_type=cfg.embedding_type,
         fourier_scale=cfg.fourier_scale, conv_size=3,
-        sigma_max=50.0, sigma_min=0.01, num_scales=1000,
+        sigma_max=cfg.sigma_max, sigma_min=cfg.sigma_min,
+        num_scales=cfg.num_scales,
     ))
     return c
 
