@@ -105,6 +105,39 @@ def _build_sampler_from_config(config, params, model, *, labels=None,
     return solver, ns
 
 
+def _is_ve_config(config) -> bool:
+    return (config.training.sde == "vesde"
+            and config.model_family in ("ncsnpp", "ncsnv2"))
+
+
+def _build_pc_sampler_from_config(config, params, model):
+    """VE checkpoints are not VP-form, so DPM-Solver does not apply; the
+    reference samples them with the PC loop (configs set
+    sampling.method='pc'; run_lib.py VESDE sampling_eps = 1e-5). Returns
+    (sde, jitted sampler(x_T, rng) -> (x0, nfe))."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpm_solver_tpu.run_lib import _make_sde
+    from dpm_solver_tpu.samplers import get_pc_sampler
+    from dpm_solver_tpu.score import get_score_fn
+
+    scfg = config.sampling
+    sde = _make_sde(config)
+
+    def raw_score(x, lab):
+        if config.model_family == "ncsnv2":
+            return model.apply(params, x, lab.astype(jnp.int32))
+        return model.apply(params, x, lab, deterministic=True)
+
+    score_fn = get_score_fn(sde, raw_score,
+                            continuous=config.training.continuous)
+    sampler = jax.jit(get_pc_sampler(
+        sde, score_fn, predictor=scfg.predictor, corrector=scfg.corrector,
+        snr=scfg.snr, n_corrector_steps=scfg.n_steps_each, eps=1e-5))
+    return sde, sampler
+
+
 def cmd_sample(args):
     import jax
     import jax.numpy as jnp
@@ -187,28 +220,8 @@ def cmd_sample(args):
         if arr.shape[0] < args.batch:
             raise SystemExit(f"--base-samples holds {arr.shape[0]} images "
                              f"< batch {args.batch}")
-    if config.training.sde == "vesde" and config.model_family in (
-            "ncsnpp", "ncsnv2"):
-        # VE checkpoints are not VP-form, so DPM-Solver does not apply; the
-        # reference samples these with the PC loop (configs set
-        # sampling.method='pc'; run_lib.py VESDE sampling_eps = 1e-5)
-        from dpm_solver_tpu.run_lib import _make_sde
-        from dpm_solver_tpu.samplers import get_pc_sampler
-        from dpm_solver_tpu.score import get_score_fn
-
-        sde = _make_sde(config)
-
-        def raw_score(x, lab):
-            if config.model_family == "ncsnv2":
-                return model.apply(params, x, lab.astype(jnp.int32))
-            return model.apply(params, x, lab, deterministic=True)
-
-        score_fn = get_score_fn(sde, raw_score,
-                                continuous=config.training.continuous)
-        sampler = jax.jit(get_pc_sampler(
-            sde, score_fn, predictor=scfg.predictor,
-            corrector=scfg.corrector, snr=scfg.snr,
-            n_corrector_steps=scfg.n_steps_each, eps=1e-5))
+    if _is_ve_config(config):
+        sde, sampler = _build_pc_sampler_from_config(config, params, model)
         rng = jax.random.PRNGKey(args.seed)
         x_T = sde.prior_sampling(
             rng, (args.batch, d.image_size, d.image_size, d.channels))
@@ -310,15 +323,22 @@ def cmd_eval(args):
     n_classes = getattr(config.model_config, "num_classes", None)
 
     def sample_fn(state, rng):
+        d = config.data
+        shape = (config.eval.batch_size, d.image_size, d.image_size,
+                 d.channels)
+        if _is_ve_config(config):
+            sde, sampler = _build_pc_sampler_from_config(
+                config, state.ema_params, model)
+            rng, rng_x = jax.random.split(rng)
+            out, _ = sampler(sde.prior_sampling(rng_x, shape), rng)
+            return np.clip(np.asarray(out), 0.0, 1.0)  # VE space is [0,1]
         rng, rng_y = jax.random.split(rng)
         # class-conditional nets need labels or apply() asserts
         labels = (jax.random.randint(rng_y, (config.eval.batch_size,), 0,
                                      n_classes) if n_classes else None)
         solver, _ = _build_sampler_from_config(config, state.ema_params,
                                                model, labels=labels)
-        d = config.data
-        x_T = jax.random.normal(rng, (config.eval.batch_size, d.image_size,
-                                      d.image_size, d.channels))
+        x_T = jax.random.normal(rng, shape)
         out = solver.sample(x_T, steps=scfg.steps, t_end=scfg.t_end or 1e-3,
                             order=scfg.order, skip_type=scfg.skip_type,
                             method=scfg.method)

@@ -497,7 +497,9 @@ def _tiny_ve_ncsnv2() -> Config:
         sampling=SamplingConfig(predictor="none", corrector="ald",
                                 snr=0.176, n_steps_each=2),
         training=TrainingConfig(sde="vesde", continuous=False, batch_size=8,
-                                num_scales=10, sigma_max=50.0),
+                                num_scales=10, sigma_max=50.0, n_iters=10,
+                                warmup=2, snapshot_freq=2,
+                                snapshot_freq_for_preemption=2, log_freq=1),
         eval=EvalConfig(batch_size=4, num_samples=4),
     )
 

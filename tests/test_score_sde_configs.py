@@ -172,6 +172,29 @@ def test_train_smld_discrete_ve(tmp_path):
     assert all(np.isfinite(a).all() for a in leaves)
 
 
+def test_cli_ve_train_then_eval(tmp_path):
+    """The full VE loop at the CLI surface: SMLD train -> checkpoint ->
+    eval sampling rounds via the PC sampler in [0,1] space."""
+    from dpm_solver_tpu.cli import main
+
+    imgs = (np.random.RandomState(0).rand(32, 16, 16, 3) * 255
+            ).astype(np.uint8)
+    data = str(tmp_path / "data.npz")
+    np.savez(data, images=imgs)
+    wd = str(tmp_path / "wd")
+    main(["train", "--config", "tiny_ve_ncsnv2", "--workdir", wd,
+          "--data-path", data, "--max-steps", "3"])
+    assert os.listdir(os.path.join(wd, "checkpoints"))
+    main(["eval", "--config", "tiny_ve_ncsnv2", "--workdir", wd,
+          "--rounds", "1"])
+    eval_dir = os.path.join(wd, "eval")
+    samples = [f for f in os.listdir(eval_dir) if f.startswith("samples_")]
+    assert samples
+    arr = np.load(os.path.join(eval_dir, samples[0]))["samples"]
+    assert arr.shape == (4, 16, 16, 3)
+    assert np.isfinite(arr).all() and arr.min() >= 0.0 and arr.max() <= 1.0
+
+
 def test_continuous_vp_sampler_uses_linear_schedule():
     """_build_sampler_from_config on a continuous score_sde config builds
     the closed-form linear schedule (ref sampling.py:562), not the discrete
