@@ -347,6 +347,10 @@ def _score_sde_config(name, *, sde, model_preset, continuous, dataset,
             "ncsnpp_px256": NCSNppConfig.px256,
             "ncsnpp_px1024": NCSNppConfig.px1024,
             "ddpm": DDPMUNetConfig.cifar10,
+            "ddpm_lsun256": DDPMUNetConfig.lsun256,
+            "ncsn_v1": lambda: dataclasses.replace(
+                NCSNv2Config.cifar10(), conditional_norm=True,
+                scale_by_sigma=False, num_scales=10, sigma_max=1.0),
             "ncsnv2_cifar10": NCSNv2Config.cifar10,
             "ncsnv2_celeba": lambda: dataclasses.replace(
                 NCSNv2Config.cifar10(), image_size=64, num_scales=500,
@@ -380,9 +384,11 @@ def _score_sde_config(name, *, sde, model_preset, continuous, dataset,
 
 def _register_score_sde_matrix():
     """The reference's per-experiment config tree, one registry entry per
-    file (score_sde_jax/configs/{vp,subvp,ve}/*.py + ve/ncsnv2/*). NCSN v1
-    configs (ve/ncsn/*) are served by `NCSNv2Config(conditional_norm=True)`
-    but have no published checkpoints, so they are not registered."""
+    file (score_sde_jax/configs/{vp,subvp,ve}/*.py + vp/ddpm/* +
+    ve/{ncsn,ncsnv2}/*). Not registered: vp/ddpm/cifar10_unconditional
+    (conditional=False nets drop the time embedding — no published ckpt)
+    and the ve/ncsn celeba sigma-subset ablations (celeba_124 etc., which
+    differ only in which ladder entries the ALD loop visits)."""
     C = dict(dataset="cifar10", image_size=32, centered=True)
     CU = dict(dataset="cifar10", image_size=32, centered=False)
     # CIFAR-10: vp / subvp (ref configs/{vp,subvp}/cifar10_*.py)
@@ -446,6 +452,22 @@ def _register_score_sde_matrix():
                           dataset=ds, image_size=1024, centered=False,
                           batch_size=8, eval_batch=8, sigma_max=1348.0,
                           num_scales=2000, corrector="langevin", snr=0.075)
+    # LSUN/CelebAHQ 256px discrete DDPM (ref configs/vp/ddpm/{church,
+    # bedroom,celebahq}.py); the unconditional cifar10 variant (conditional
+    # False = no time embedding) has no published checkpoint and is skipped
+    for nm, ds in (("church", "lsun_church"), ("bedroom", "lsun_bedroom"),
+                   ("celebahq", "celebahq")):
+        _score_sde_config(f"score_sde_{nm}_vp_ddpm", sde="vp",
+                          model_preset="ddpm_lsun256", continuous=False,
+                          family="ddpm_unet", dataset=ds, image_size=256,
+                          centered=True, batch_size=64, eval_batch=64)
+    # NCSN v1 (ref configs/ve/ncsn/cifar10.py: conditional InstanceNorm++,
+    # 10-sigma ladder to 1.0, ALD sampling)
+    _score_sde_config("score_sde_cifar10_ve_ncsn", sde="ve",
+                      model_preset="ncsn_v1", continuous=False,
+                      family="ncsnv2", num_scales=10, sigma_max=1.0,
+                      predictor="none", corrector="ald", snr=0.176,
+                      n_steps_each=5, **CU)
     # legacy NCSNv2 (ref configs/ve/ncsnv2/*.py: annealed Langevin only)
     V2 = dict(predictor="none", corrector="ald", snr=0.176, n_steps_each=5)
     _score_sde_config("score_sde_cifar10_ve_ncsnv2", sde="ve",

@@ -48,6 +48,12 @@ EXPECTED = [
     "score_sde_cifar10_ve_ncsnv2",
     "score_sde_celeba64_ve_ncsnv2",
     "score_sde_bedroom_ve_ncsnv2",
+    # configs/vp/ddpm/{church,bedroom,celebahq}.py
+    "score_sde_church_vp_ddpm",
+    "score_sde_bedroom_vp_ddpm",
+    "score_sde_celebahq_vp_ddpm",
+    # configs/ve/ncsn/cifar10.py
+    "score_sde_cifar10_ve_ncsn",
 ]
 
 
@@ -114,6 +120,15 @@ def test_reference_field_values():
     c = get_config("score_sde_bedroom_ve_ncsnv2")
     assert c.training.sigma_max == 190.0 and c.training.num_scales == 1086
     assert c.data.image_size == 128
+
+    c = get_config("score_sde_church_vp_ddpm")
+    assert c.model_config.ch_mult == (1, 1, 2, 2, 4, 4)
+    assert c.data.image_size == 256 and not c.training.continuous
+
+    c = get_config("score_sde_cifar10_ve_ncsn")
+    m = c.model_config
+    assert m.conditional_norm and not m.scale_by_sigma
+    assert m.num_scales == 10 and m.sigma_max == 1.0
 
 
 def test_make_sde_uses_config_params():
