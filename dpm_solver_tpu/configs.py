@@ -88,6 +88,8 @@ class DataConfig:
     channels: int = 3
     centered: bool = True
     uniform_dequantization: bool = False
+    gaussian_dequantization: bool = False
+    logit_transform: bool = False  # ref datasets/__init__.py:197-198,210
     random_flip: bool = True
     path: Optional[str] = None  # local data root (zero-egress image)
 

@@ -29,6 +29,46 @@ def inverse_scaler(centered: bool):
     return (lambda x: (x + 1.0) / 2.0) if centered else (lambda x: x)
 
 
+def logit_transform(x, lam: float = 1e-6):
+    """[0,1] pixels -> logit space (ref ddpm_and_guided-diffusion/
+    datasets/__init__.py:184-186)."""
+    import jax.numpy as jnp
+
+    x = lam + (1.0 - 2.0 * lam) * x
+    return jnp.log(x) - jnp.log1p(-x)
+
+
+def data_transform(data_cfg, x, *, rng=None):
+    """[0,1] images -> model space per the config's data block
+    (ref datasets/__init__.py:189-203: dequantization, then rescale to
+    [-1,1] (`centered`) OR logit transform)."""
+    import jax
+    import jax.numpy as jnp
+
+    if getattr(data_cfg, "uniform_dequantization", False) and rng is not None:
+        x = (x * 255.0 + jax.random.uniform(rng, x.shape, x.dtype)) / 256.0
+    if getattr(data_cfg, "gaussian_dequantization", False) and rng is not None:
+        x = x + jax.random.normal(rng, x.shape, x.dtype) * 0.01
+    if getattr(data_cfg, "logit_transform", False):
+        return logit_transform(x)
+    if data_cfg.centered:
+        return 2.0 * x - 1.0
+    return x
+
+
+def inverse_data_transform(data_cfg, x):
+    """Model space -> [0,1] images, clipped
+    (ref datasets/__init__.py:206-215)."""
+    import jax
+    import jax.numpy as jnp
+
+    if getattr(data_cfg, "logit_transform", False):
+        x = jax.nn.sigmoid(x)
+    elif data_cfg.centered:
+        x = (x + 1.0) / 2.0
+    return jnp.clip(x, 0.0, 1.0)
+
+
 def load_cifar10_dir(path: str, *, train: bool = True) -> np.ndarray:
     """CIFAR-10 python-pickle directory (data_batch_1..5 / test_batch) ->
     uint8 NHWC array. The standard distribution format, no tfds needed."""
