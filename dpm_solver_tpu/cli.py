@@ -401,6 +401,37 @@ def cmd_eval(args):
                 inverse_scaler_grad=0.5 if config.data.centered else 1.0)
             return lf(rng, _batch())[0]
 
+    elif args.data_path and config.model_family in ("ncsnpp", "ncsnv2"):
+        # discretely-trained score nets: eval loss is the legacy objective
+        # (ref losses.py get_step_fn routes SMLD/DDPM when not continuous)
+        import jax.numpy as jnp
+
+        from dpm_solver_tpu.data import make_dataset, numpy_iterator
+        from dpm_solver_tpu.run_lib import _make_sde
+        from dpm_solver_tpu.training.losses import ddpm_loss_fn, smld_loss_fn
+
+        images = np.load(args.data_path)["images"]
+        ds = make_dataset(images, batch_size=config.eval.batch_size,
+                          num_local_devices=1, random_flip=False,
+                          centered=config.data.centered, shuffle=True)
+        data_iter = numpy_iterator(ds)
+        sde = _make_sde(config)
+
+        def apply_labels(p, x, labels):
+            if config.model_family == "ncsnv2":
+                return model.apply(p, x, labels.astype(jnp.int32))
+            return model.apply(p, x, labels.astype(jnp.float32),
+                               deterministic=True)
+
+        _loss = (smld_loss_fn if config.training.sde == "vesde"
+                 else ddpm_loss_fn)(
+            sde, apply_labels, reduce_mean=config.training.reduce_mean)
+
+        def loss_fn(state, rng):
+            b = next(data_iter)
+            x = jnp.asarray(b).reshape((-1,) + b.shape[-3:])
+            return _loss(state.ema_params, x, rng)
+
     results = evaluate(config, workdir=args.workdir, sample_fn=sample_fn,
                        feature_fn=feature_fn, rounds=args.rounds,
                        loss_fn=loss_fn, bpd_fn=bpd_fn,

@@ -201,7 +201,7 @@ def test_cli_ve_train_then_eval(tmp_path):
           "--data-path", data, "--max-steps", "3"])
     assert os.listdir(os.path.join(wd, "checkpoints"))
     main(["eval", "--config", "tiny_ve_ncsnv2", "--workdir", wd,
-          "--rounds", "1"])
+          "--rounds", "1", "--data-path", data])
     eval_dir = os.path.join(wd, "eval")
     samples = [f for f in os.listdir(eval_dir) if f.startswith("samples_")]
     assert samples
