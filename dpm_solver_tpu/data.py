@@ -201,21 +201,39 @@ def lsun_dataset(root: str, *, resolution: int, batch_size: int,
     if len(reader) == 0:
         raise FileNotFoundError(f"LMDB at {root} holds no entries")
 
+    # the native entry table (utils/lmdb_native.py) gives O(1) random access
+    # to every record, so shuffling is a true full permutation per epoch —
+    # the reference DataLoader's shuffle=True semantics — instead of a small
+    # reservoir buffer; without a toolchain we fall back to ordered
+    # iteration + buffer shuffle
+    table = reader.entry_table()
+    rng = np.random.RandomState(seed)
+
     def gen():
         import io
 
         from PIL import Image
 
+        def decode(buf):
+            img = Image.open(io.BytesIO(buf)).convert("RGB")
+            return np.asarray(img, np.uint8)
+
         while True:
-            for _, buf in reader.items():
-                img = Image.open(io.BytesIO(buf)).convert("RGB")
-                yield np.asarray(img, np.uint8)
+            if table is not None and len(table):
+                order = (rng.permutation(len(table)) if shuffle
+                         else np.arange(len(table)))
+                for j in order:
+                    voff, vlen = int(table[j, 2]), int(table[j, 3])
+                    yield decode(reader._buf[voff:voff + vlen])
+            else:
+                for _, buf in reader.items():
+                    yield decode(buf)
             if not repeat:
                 return
 
     ds = tf.data.Dataset.from_generator(
         gen, output_signature=tf.TensorSpec((None, None, 3), tf.uint8))
-    if shuffle:
+    if shuffle and table is None:
         ds = ds.shuffle(512, seed=seed)
 
     def prep(img):

@@ -192,12 +192,40 @@ class LMDBReader:
         for _, v in self.items():
             yield v
 
+    def entry_table(self):
+        """(n, 4) uint64 rows of (key_off, key_len, val_off, val_len) in key
+        order from the native C++ walker (native/lmdb_walk.cpp), or ``None``
+        when no compiler is available — callers fall back to ``_walk``."""
+        import numpy as np
+
+        root = self._main[7]
+        if root == P_INVALID:
+            return np.empty((0, 4), dtype=np.uint64)
+        from dpm_solver_tpu.utils import lmdb_native
+
+        try:
+            return lmdb_native.entry_table(self._buf, self.psize, root,
+                                           self._main[6])
+        except ValueError as e:
+            raise LMDBError(f"{self.path}: {e}")
+
     def items(self) -> Iterator[Tuple[bytes, bytes]]:
-        """Iterate all (key, value) pairs in key order (≡ ``txn.cursor()``)."""
+        """Iterate all (key, value) pairs in key order (≡ ``txn.cursor()``).
+
+        Uses the native entry table when available: one C pass computes
+        every record's offsets, then values are served as zero-copy mmap
+        slices — the per-node Python struct parsing the pure fallback pays
+        is the iteration bottleneck on LSUN-scale files."""
         root = self._main[7]
         if root == P_INVALID:
             return
-        yield from self._walk(root)
+        table = self.entry_table()
+        if table is None:
+            yield from self._walk(root)
+            return
+        buf = self._buf
+        for koff, klen, voff, vlen in table.tolist():
+            yield buf[koff:koff + klen], buf[voff:voff + vlen]
 
     def get(self, key: bytes, default: Optional[bytes] = None) -> Optional[bytes]:
         """Point lookup via B+tree descent (≡ ``txn.get(key)``)."""

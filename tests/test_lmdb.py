@@ -153,3 +153,70 @@ def test_reader_context_manager_and_keys_only_walk(tmp_path):
         assert ks == sorted(items)
     assert r._buf is None  # closed
     r.close()  # idempotent
+
+
+# ---------------------------------------------------------------------------
+# native walker (native/lmdb_walk.cpp via utils/lmdb_native.py)
+# ---------------------------------------------------------------------------
+
+
+def _native_available():
+    from dpm_solver_tpu.utils import lmdb_native
+
+    return lmdb_native.load_library() is not None
+
+
+requires_gxx = pytest.mark.skipif(not _native_available(),
+                                  reason="no C++ toolchain")
+
+
+@requires_gxx
+def test_native_walk_matches_python(tmp_path):
+    """The C walker's entry table reproduces the Python walk exactly across
+    the page-layout regimes (multi-level branch tree + overflow values)."""
+    rs = np.random.RandomState(0)
+    items = {f"k{i:06d}".encode(): rs.bytes(rs.randint(1, 300))
+             for i in range(3000)}
+    items[b"big0"] = rs.bytes(100_000)  # overflow pages
+    items[b"big1"] = rs.bytes(9_000)
+    path = write_lmdb(str(tmp_path / "db"), sorted(items.items()))
+    with LMDBReader(path) as r:
+        table = r.entry_table()
+        assert table is not None and table.shape == (len(items), 4)
+        native = [(bytes(k), bytes(v)) for k, v in r.items()]
+        python = list(r._walk(r._main[7]))
+    assert len(native) == len(python) == len(items)
+    for (nk, nv), (pk, pv) in zip(native, python):
+        assert nk == bytes(pk) and nv == bytes(pv)
+
+
+@requires_gxx
+def test_native_walk_rejects_corrupt_tree(tmp_path):
+    """A root pointing at a non-tree page errors instead of reading junk."""
+    path = write_lmdb(str(tmp_path / "db"), {b"a": b"1"}.items())
+    r = LMDBReader(path)
+    r._main = list(r._main)
+    r._main[7] = 10**6  # page far beyond EOF
+    with pytest.raises(LMDBError):
+        r.entry_table()
+    r.close()
+
+
+@requires_gxx
+def test_native_iteration_throughput(tmp_path):
+    """The native table walk must not be slower than the Python parse on a
+    many-record database (it is typically 10-50x faster)."""
+    import time
+
+    rs = np.random.RandomState(1)
+    items = {f"key{i:07d}".encode(): rs.bytes(64) for i in range(20_000)}
+    path = write_lmdb(str(tmp_path / "db"), sorted(items.items()))
+    with LMDBReader(path) as r:
+        t0 = time.perf_counter()
+        n_native = sum(1 for _ in r.items())
+        t_native = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_python = sum(1 for _ in r._walk(r._main[7]))
+        t_python = time.perf_counter() - t0
+    assert n_native == n_python == len(items)
+    assert t_native < t_python * 1.5  # generous: CI noise
