@@ -59,8 +59,10 @@ def _build_sampler_from_config(config, params, model, *, labels=None,
     # / models/utils.py get_noise_fn); discrete nets use the beta table —
     # e.g. imagenet64's iDDPM is cosine with 4000 steps, NOT linear/1000
     # (configs/imagenet64.yml diffusion: beta_schedule: cosine)
+    # VP only: subVP/VE nets are not DPM-Solver-compatible (they route
+    # through _uses_pc_sampling before reaching here)
     continuous_score = (config.model_family == "ncsnpp" and tcfg.continuous
-                        and tcfg.sde in ("vpsde", "subvpsde"))
+                        and tcfg.sde == "vpsde")
     if continuous_score:
         ns = NoiseScheduleVP.linear(tcfg.beta_min, tcfg.beta_max)
     else:
@@ -105,37 +107,41 @@ def _build_sampler_from_config(config, params, model, *, labels=None,
     return solver, ns
 
 
-def _is_ve_config(config) -> bool:
-    return (config.training.sde == "vesde"
-            and config.model_family in ("ncsnpp", "ncsnv2"))
+def _uses_pc_sampling(config) -> bool:
+    """VE and subVP checkpoints are not VP-form, so DPM-Solver does not
+    apply; the reference samples them with the PC loop (configs set
+    sampling.method='pc'; score_sde get_noise_fn raises NotImplementedError
+    for anything but continuous VPSDE, models/utils.py:178-191)."""
+    return (config.training.sde in ("vesde", "subvpsde")
+            and config.model_family in ("ncsnpp", "ncsnv2", "ddpm_unet"))
 
 
-def _build_pc_sampler_from_config(config, params, model):
-    """VE checkpoints are not VP-form, so DPM-Solver does not apply; the
-    reference samples them with the PC loop (configs set
-    sampling.method='pc'; run_lib.py VESDE sampling_eps = 1e-5). Returns
-    (sde, jitted sampler(x_T, rng) -> (x0, nfe))."""
+def _build_pc_sampler_from_config(config, model):
+    """Returns (sde, sampler) where sampler(params, x_T, rng) -> (x0, nfe)
+    is jitted ONCE with params as an argument (big weights must be jit
+    arguments, not closure constants) — callers across eval rounds reuse
+    the same executable (ref sampling.py:391-456 pc loop; run_lib.py VESDE
+    sampling_eps = 1e-5, VP/subVP 1e-3)."""
     import jax
-    import jax.numpy as jnp
 
-    from dpm_solver_tpu.run_lib import _make_sde
+    from dpm_solver_tpu.run_lib import _make_sde, score_net_apply
     from dpm_solver_tpu.samplers import get_pc_sampler
     from dpm_solver_tpu.score import get_score_fn
 
     scfg = config.sampling
     sde = _make_sde(config)
+    eps = 1e-5 if config.training.sde == "vesde" else 1e-3
+    apply_fn = score_net_apply(model, config.model_family)
 
-    def raw_score(x, lab):
-        if config.model_family == "ncsnv2":
-            return model.apply(params, x, lab.astype(jnp.int32))
-        return model.apply(params, x, lab, deterministic=True)
+    def run(params, x_T, rng):
+        score_fn = get_score_fn(sde, lambda x, lab: apply_fn(params, x, lab),
+                                continuous=config.training.continuous)
+        return get_pc_sampler(
+            sde, score_fn, predictor=scfg.predictor,
+            corrector=scfg.corrector, snr=scfg.snr,
+            n_corrector_steps=scfg.n_steps_each, eps=eps)(x_T, rng)
 
-    score_fn = get_score_fn(sde, raw_score,
-                            continuous=config.training.continuous)
-    sampler = jax.jit(get_pc_sampler(
-        sde, score_fn, predictor=scfg.predictor, corrector=scfg.corrector,
-        snr=scfg.snr, n_corrector_steps=scfg.n_steps_each, eps=1e-5))
-    return sde, sampler
+    return sde, jax.jit(run)
 
 
 def cmd_sample(args):
@@ -220,14 +226,15 @@ def cmd_sample(args):
         if arr.shape[0] < args.batch:
             raise SystemExit(f"--base-samples holds {arr.shape[0]} images "
                              f"< batch {args.batch}")
-    if _is_ve_config(config):
-        sde, sampler = _build_pc_sampler_from_config(config, params, model)
+    if _uses_pc_sampling(config):
+        from dpm_solver_tpu.data import inverse_data_transform
+
+        sde, sampler = _build_pc_sampler_from_config(config, model)
         rng = jax.random.PRNGKey(args.seed)
         x_T = sde.prior_sampling(
             rng, (args.batch, d.image_size, d.image_size, d.channels))
-        out, nfe = sampler(x_T, jax.random.fold_in(rng, 1))
-        # VE data space is uncentered [0, 1]
-        imgs = np.clip(np.asarray(out), 0.0, 1.0)
+        out, nfe = sampler(params, x_T, jax.random.fold_in(rng, 1))
+        imgs = np.asarray(inverse_data_transform(config.data, out))
         _save_images(imgs, args.outdir)
         print(f"wrote {imgs.shape[0]} samples to {args.outdir} "
               f"(pc {scfg.predictor}/{scfg.corrector}, nfe={int(nfe)})")
@@ -322,16 +329,23 @@ def cmd_eval(args):
     scfg = config.sampling
     n_classes = getattr(config.model_config, "num_classes", None)
 
+    # PC sampler built ONCE (params are a jit argument; per-round rebuild
+    # would recompile the full N-step scan every round)
+    _pc = (_build_pc_sampler_from_config(config, model)
+           if _uses_pc_sampling(config) else None)
+
     def sample_fn(state, rng):
         d = config.data
         shape = (config.eval.batch_size, d.image_size, d.image_size,
                  d.channels)
-        if _is_ve_config(config):
-            sde, sampler = _build_pc_sampler_from_config(
-                config, state.ema_params, model)
+        if _pc is not None:
+            from dpm_solver_tpu.data import inverse_data_transform
+
+            sde, sampler = _pc
             rng, rng_x = jax.random.split(rng)
-            out, _ = sampler(sde.prior_sampling(rng_x, shape), rng)
-            return np.clip(np.asarray(out), 0.0, 1.0)  # VE space is [0,1]
+            out, _ = sampler(state.ema_params,
+                             sde.prior_sampling(rng_x, shape), rng)
+            return np.asarray(inverse_data_transform(d, out))
         rng, rng_y = jax.random.split(rng)
         # class-conditional nets need labels or apply() asserts
         labels = (jax.random.randint(rng_y, (config.eval.batch_size,), 0,
@@ -401,13 +415,16 @@ def cmd_eval(args):
                 inverse_scaler_grad=0.5 if config.data.centered else 1.0)
             return lf(rng, _batch())[0]
 
-    elif args.data_path and config.model_family in ("ncsnpp", "ncsnv2"):
+    elif args.data_path and (
+            config.model_family in ("ncsnpp", "ncsnv2")
+            or (config.model_family == "ddpm_unet"
+                and config.training.sde == "vesde")):
         # discretely-trained score nets: eval loss is the legacy objective
         # (ref losses.py get_step_fn routes SMLD/DDPM when not continuous)
         import jax.numpy as jnp
 
         from dpm_solver_tpu.data import make_dataset, numpy_iterator
-        from dpm_solver_tpu.run_lib import _make_sde
+        from dpm_solver_tpu.run_lib import _make_sde, score_net_apply
         from dpm_solver_tpu.training.losses import ddpm_loss_fn, smld_loss_fn
 
         images = np.load(args.data_path)["images"]
@@ -416,12 +433,7 @@ def cmd_eval(args):
                           centered=config.data.centered, shuffle=True)
         data_iter = numpy_iterator(ds)
         sde = _make_sde(config)
-
-        def apply_labels(p, x, labels):
-            if config.model_family == "ncsnv2":
-                return model.apply(p, x, labels.astype(jnp.int32))
-            return model.apply(p, x, labels.astype(jnp.float32),
-                               deterministic=True)
+        apply_labels = score_net_apply(model, config.model_family)
 
         _loss = (smld_loss_fn if config.training.sde == "vesde"
                  else ddpm_loss_fn)(

@@ -333,7 +333,8 @@ def _score_sde_config(name, *, sde, model_preset, continuous, dataset,
                       image_size, centered, batch_size=128, eval_batch=1000,
                       sigma_max=50.0, num_scales=1000, n_jitted_steps=5,
                       family="ncsnpp", predictor="reverse_diffusion",
-                      corrector="none", snr=0.16, n_steps_each=1):
+                      corrector="none", snr=0.16, n_steps_each=1,
+                      reduce_mean=False):
     def make() -> Config:
         from dpm_solver_tpu.models import (DDPMUNetConfig, NCSNppConfig,
                                            NCSNv2Config)
@@ -345,6 +346,10 @@ def _score_sde_config(name, *, sde, model_preset, continuous, dataset,
             "ncsnpp_vp_deep": lambda: NCSNppConfig.cifar10_ncsnpp_vp(True),
             "ncsnpp_ve": lambda: NCSNppConfig.cifar10_ncsnpp(),
             "ncsnpp_ve_deep": lambda: NCSNppConfig.cifar10_ncsnpp(deep=True),
+            # discrete VE twin: positional embedding over the sigma ladder
+            # (ve/cifar10_ncsnpp.py: embedding_type='positional')
+            "ncsnpp_ve_discrete": lambda: dataclasses.replace(
+                NCSNppConfig.celeba64(), image_size=32, sigma_max=50.0),
             "ncsnpp_celeba64": NCSNppConfig.celeba64,
             "ncsnpp_px256": NCSNppConfig.px256,
             "ncsnpp_px1024": NCSNppConfig.px1024,
@@ -374,7 +379,7 @@ def _score_sde_config(name, *, sde, model_preset, continuous, dataset,
                                     snr=snr, n_steps_each=n_steps_each),
             training=TrainingConfig(
                 batch_size=batch_size, sde=sde + "sde",
-                continuous=continuous, reduce_mean=False,
+                continuous=continuous, reduce_mean=reduce_mean,
                 n_jitted_steps=n_jitted_steps, sigma_max=sigma_max,
                 num_scales=num_scales),
             eval=EvalConfig(batch_size=eval_batch, num_samples=50_000),
@@ -391,7 +396,10 @@ def _register_score_sde_matrix():
     (conditional=False nets drop the time embedding — no published ckpt)
     and the ve/ncsn celeba sigma-subset ablations (celeba_124 etc., which
     differ only in which ladder entries the ALD loop visits)."""
-    C = dict(dataset="cifar10", image_size=32, centered=True)
+    # vp/subvp files all set training.reduce_mean=True and sample with
+    # pc/euler_maruyama (e.g. vp/cifar10_ddpmpp_continuous.py)
+    C = dict(dataset="cifar10", image_size=32, centered=True,
+             reduce_mean=True, predictor="euler_maruyama")
     CU = dict(dataset="cifar10", image_size=32, centered=False)
     # CIFAR-10: vp / subvp (ref configs/{vp,subvp}/cifar10_*.py)
     for sde in ("vp", "subvp"):
@@ -426,7 +434,8 @@ def _register_score_sde_matrix():
                       model_preset="ddpm", continuous=False,
                       family="ddpm_unet", **VE, **CU)
     _score_sde_config("score_sde_cifar10_ve_ncsnpp", sde="ve",
-                      model_preset="ncsnpp_ve", continuous=False, **VE, **CU)
+                      model_preset="ncsnpp_ve_discrete", continuous=False,
+                      **VE, **CU)
     _score_sde_config("score_sde_cifar10_ve_ncsnpp_continuous", sde="ve",
                       model_preset="ncsnpp_ve", continuous=True, **VE, **CU)
     _score_sde_config("score_sde_cifar10_ve_ncsnpp_deep_continuous",
@@ -453,7 +462,8 @@ def _register_score_sde_matrix():
                           model_preset="ncsnpp_px1024", continuous=True,
                           dataset=ds, image_size=1024, centered=False,
                           batch_size=8, eval_batch=8, sigma_max=1348.0,
-                          num_scales=2000, corrector="langevin", snr=0.075)
+                          num_scales=2000, corrector="langevin", snr=0.15,
+                          reduce_mean=(nm == "ffhq1024"))
     # LSUN/CelebAHQ 256px discrete DDPM (ref configs/vp/ddpm/{church,
     # bedroom,celebahq}.py); the unconditional cifar10 variant (conditional
     # False = no time embedding) has no published checkpoint and is skipped
@@ -462,28 +472,34 @@ def _register_score_sde_matrix():
         _score_sde_config(f"score_sde_{nm}_vp_ddpm", sde="vp",
                           model_preset="ddpm_lsun256", continuous=False,
                           family="ddpm_unet", dataset=ds, image_size=256,
-                          centered=True, batch_size=64, eval_batch=64)
+                          centered=True, batch_size=64, eval_batch=64,
+                          reduce_mean=True, predictor="euler_maruyama")
     # NCSN v1 (ref configs/ve/ncsn/cifar10.py: conditional InstanceNorm++,
     # 10-sigma ladder to 1.0, ALD sampling)
     _score_sde_config("score_sde_cifar10_ve_ncsn", sde="ve",
                       model_preset="ncsn_v1", continuous=False,
                       family="ncsnv2", num_scales=10, sigma_max=1.0,
-                      predictor="none", corrector="ald", snr=0.176,
-                      n_steps_each=5, **CU)
-    # legacy NCSNv2 (ref configs/ve/ncsnv2/*.py: annealed Langevin only)
-    V2 = dict(predictor="none", corrector="ald", snr=0.176, n_steps_each=5)
+                      predictor="none", corrector="ald", snr=0.316,
+                      n_steps_each=100, **CU)
+    # legacy NCSNv2 (ref configs/ve/ncsnv2/*.py: annealed Langevin only;
+    # per-file snr/n_steps_each)
     _score_sde_config("score_sde_cifar10_ve_ncsnv2", sde="ve",
                       model_preset="ncsnv2_cifar10", continuous=False,
-                      family="ncsnv2", num_scales=232, **V2, **CU)
+                      family="ncsnv2", num_scales=232, predictor="none",
+                      corrector="ald", snr=0.176, n_steps_each=5, **CU)
     _score_sde_config("score_sde_celeba64_ve_ncsnv2", sde="ve",
                       model_preset="ncsnv2_celeba", continuous=False,
                       family="ncsnv2", dataset="celeba", image_size=64,
-                      centered=False, sigma_max=90.0, num_scales=500, **V2)
+                      centered=False, sigma_max=90.0, num_scales=500,
+                      predictor="none", corrector="ald", snr=0.128,
+                      n_steps_each=5)
     _score_sde_config("score_sde_bedroom_ve_ncsnv2", sde="ve",
                       model_preset="ncsnv2_bedroom", continuous=False,
                       family="ncsnv2", dataset="lsun_bedroom",
                       image_size=128, centered=False, sigma_max=190.0,
-                      num_scales=1086, batch_size=32, eval_batch=64, **V2)
+                      num_scales=1086, batch_size=32, eval_batch=64,
+                      predictor="none", corrector="ald", snr=0.095,
+                      n_steps_each=3)
 
 
 _register_score_sde_matrix()

@@ -84,6 +84,29 @@ def build_model(config: Config):
     return model, init_fn
 
 
+def score_net_apply(model, family: str, *, train: bool = False):
+    """Shared label-convention dispatch for discretely-labelled score nets
+    (used by train/eval/PC sampling): NCSNv2/NCSN take int32 sigma-ladder
+    indices; NCSN++ and DDPM UNets take float labels. ``train=True`` keeps
+    dropout live (callers pass an rng as the 4th argument)."""
+
+    def apply_fn(params, x, labels, rng=None):
+        if family == "ncsnv2":
+            return model.apply(params, x, labels.astype(jnp.int32))
+        labels = labels.astype(jnp.float32)
+        if family == "ddpm_unet":
+            if train:
+                return model.apply(params, x, labels,
+                                   rngs={"dropout": rng}, deterministic=False)
+            return model.apply(params, x, labels)
+        if train:
+            return model.apply(params, x, labels, deterministic=False,
+                               rngs={"dropout": rng})
+        return model.apply(params, x, labels, deterministic=True)
+
+    return apply_fn
+
+
 def _make_sde(config: Config):
     from dpm_solver_tpu.sde import SubVPSDE, VESDE, VPSDE
 
@@ -135,9 +158,12 @@ def train(config: Config, data_iter: Iterator[np.ndarray], *,
                               likelihood_weighting=tcfg.likelihood_weighting,
                               score_rng=True)
         step_fn = make_score_train_step(loss_fn, tx)
-    elif config.model_family in ("ncsnpp", "ncsnv2"):
+    elif config.model_family in ("ncsnpp", "ncsnv2") or (
+            config.model_family == "ddpm_unet"
+            and tcfg.sde in ("vesde", "subvpsde")):
         # discretely-trained score nets use the legacy objectives on the
-        # sigma/beta ladder (ref losses.py:124-178 SMLD / legacy DDPM)
+        # sigma/beta ladder (ref losses.py:124-178 SMLD / legacy DDPM);
+        # ddpm-arch VE configs (ve/cifar10_ddpm.py) are SMLD too
         from dpm_solver_tpu.training.losses import (
             ddpm_loss_fn,
             make_score_train_step,
@@ -145,20 +171,16 @@ def train(config: Config, data_iter: Iterator[np.ndarray], *,
         )
 
         sde = _make_sde(config)
-        family = config.model_family
-
-        def apply_labels(p, x, labels):
-            if family == "ncsnv2":
-                return model.apply(p, x, labels.astype(jnp.int32))
-            return model.apply(p, x, labels.astype(jnp.float32),
-                               deterministic=True)
-
+        apply_labels = score_net_apply(model, config.model_family,
+                                       train=True)
         if tcfg.sde == "vesde":
             loss_fn = smld_loss_fn(sde, apply_labels,
-                                   reduce_mean=tcfg.reduce_mean)
+                                   reduce_mean=tcfg.reduce_mean,
+                                   model_rng=True)
         else:
             loss_fn = ddpm_loss_fn(sde, apply_labels,
-                                   reduce_mean=tcfg.reduce_mean)
+                                   reduce_mean=tcfg.reduce_mean,
+                                   model_rng=True)
         step_fn = make_score_train_step(loss_fn, tx)
     else:
         from dpm_solver_tpu.schedule import NoiseScheduleVP

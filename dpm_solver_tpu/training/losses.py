@@ -68,18 +68,23 @@ def sde_loss_fn(
 
 
 def smld_loss_fn(vesde: VESDE, model_fn: Callable, *,
-                 reduce_mean: bool = False) -> Callable:
+                 reduce_mean: bool = False,
+                 model_rng: bool = False) -> Callable:
     """Legacy NCSN objective on descending sigmas (ref losses.py:124-150).
-    `model_fn(params, x, labels)` takes discrete labels."""
+    `model_fn(params, x, labels)` takes discrete labels; with
+    ``model_rng=True`` it is called as (params, x, labels, rng) so dropout
+    stays live at train time (ref get_step_fn train=True)."""
     assert isinstance(vesde, VESDE)
     sigmas_desc = np.asarray(vesde._sigmas())[::-1].copy()
 
     def loss(params, x0, rng):
-        rng_l, rng_z = jax.random.split(rng)
+        rng_l, rng_z, rng_d = jax.random.split(rng, 3)
         labels = jax.random.randint(rng_l, (x0.shape[0],), 0, vesde.N)
         sigmas = jnp.asarray(sigmas_desc, x0.dtype)[labels]
         noise = batch_mul(sigmas, jax.random.normal(rng_z, x0.shape, x0.dtype))
-        score = model_fn(params, x0 + noise, labels)
+        x_t = x0 + noise
+        score = (model_fn(params, x_t, labels, rng_d) if model_rng
+                 else model_fn(params, x_t, labels))
         target = -batch_mul(1.0 / sigmas ** 2, noise)
         losses = _reduce(jnp.square(score - target), reduce_mean) * sigmas ** 2
         return jnp.mean(losses)
@@ -88,7 +93,8 @@ def smld_loss_fn(vesde: VESDE, model_fn: Callable, *,
 
 
 def ddpm_loss_fn(vpsde: VPSDE, model_fn: Callable, *,
-                 reduce_mean: bool = True) -> Callable:
+                 reduce_mean: bool = True,
+                 model_rng: bool = False) -> Callable:
     """Legacy DDPM eps-MSE on the discrete beta table (ref losses.py:152-178)."""
     assert isinstance(vpsde, VPSDE)
     ab = np.cumprod(1.0 - np.asarray(vpsde._betas()))
@@ -96,12 +102,13 @@ def ddpm_loss_fn(vpsde: VPSDE, model_fn: Callable, *,
     sqrt_1mab = np.sqrt(1.0 - ab)
 
     def loss(params, x0, rng):
-        rng_l, rng_z = jax.random.split(rng)
+        rng_l, rng_z, rng_d = jax.random.split(rng, 3)
         labels = jax.random.randint(rng_l, (x0.shape[0],), 0, vpsde.N)
         noise = jax.random.normal(rng_z, x0.shape, x0.dtype)
         x_t = (batch_mul(jnp.asarray(sqrt_ab, x0.dtype)[labels], x0)
                + batch_mul(jnp.asarray(sqrt_1mab, x0.dtype)[labels], noise))
-        out = model_fn(params, x_t, labels)
+        out = (model_fn(params, x_t, labels, rng_d) if model_rng
+               else model_fn(params, x_t, labels))
         return jnp.mean(_reduce(jnp.square(out - noise), reduce_mean))
 
     return loss

@@ -224,8 +224,12 @@ class LMDBReader:
             yield from self._walk(root)
             return
         buf = self._buf
-        for koff, klen, voff, vlen in table.tolist():
-            yield buf[koff:koff + klen], buf[voff:voff + vlen]
+        # iterate columns without materializing a list-of-lists of boxed
+        # ints for LSUN-scale (~millions of records) tables
+        ko, kl = table[:, 0], table[:, 0] + table[:, 1]
+        vo, vl = table[:, 2], table[:, 2] + table[:, 3]
+        for i in range(table.shape[0]):
+            yield buf[ko[i]:kl[i]], buf[vo[i]:vl[i]]
 
     def get(self, key: bytes, default: Optional[bytes] = None) -> Optional[bytes]:
         """Point lookup via B+tree descent (≡ ``txn.get(key)``)."""

@@ -129,6 +129,34 @@ def test_reference_field_values():
     m = c.model_config
     assert m.conditional_norm and not m.scale_by_sigma
     assert m.num_scales == 10 and m.sigma_max == 1.0
+    # ve/ncsn/cifar10.py: snr 0.316, 100 Langevin steps per sigma
+    assert c.sampling.snr == 0.316 and c.sampling.n_steps_each == 100
+
+    # discrete VE NCSN++ is POSITIONAL (ve/cifar10_ncsnpp.py), unlike the
+    # continuous fourier twin
+    c = get_config("score_sde_cifar10_ve_ncsnpp")
+    assert c.model_config.embedding_type == "positional"
+    assert c.model_config.scale_by_sigma
+
+    # per-file ALD knobs (ve/ncsnv2/{celeba,bedroom}.py)
+    assert get_config("score_sde_celeba64_ve_ncsnv2").sampling.snr == 0.128
+    c = get_config("score_sde_bedroom_ve_ncsnv2")
+    assert c.sampling.snr == 0.095 and c.sampling.n_steps_each == 3
+
+    # 1024px files set snr=0.15; ffhq1024 additionally reduce_mean=True
+    c = get_config("score_sde_ffhq1024_ve_ncsnpp_continuous")
+    assert c.sampling.snr == 0.15 and c.training.reduce_mean
+    c = get_config("score_sde_celebahq1024_ve_ncsnpp_continuous")
+    assert c.sampling.snr == 0.15 and not c.training.reduce_mean
+
+    # every vp/subvp file sets training.reduce_mean=True and samples
+    # pc/euler_maruyama
+    for n in ("score_sde_cifar10_vp_ddpmpp_continuous",
+              "score_sde_cifar10_subvp_ncsnpp_deep_continuous",
+              "score_sde_church_vp_ddpm"):
+        c = get_config(n)
+        assert c.training.reduce_mean
+        assert c.sampling.predictor == "euler_maruyama"
 
 
 def test_make_sde_uses_config_params():
@@ -166,6 +194,53 @@ def test_cli_ve_pc_sampling(tmp_path):
     arr = np.load(os.path.join(out, "sample.npz"))["samples"]
     assert arr.shape == (2, 16, 16, 3)
     assert np.isfinite(arr).all() and arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_pc_vs_dpm_routing():
+    """VE and subVP checkpoints are not VP-form: they route to the PC loop
+    (ref models/utils.py:178-191 get_noise_fn raises for non-VP); VP ones
+    sample through DPM-Solver."""
+    from dpm_solver_tpu.cli import _uses_pc_sampling
+
+    assert _uses_pc_sampling(get_config("score_sde_cifar10_ve_ddpm"))
+    assert _uses_pc_sampling(get_config("score_sde_cifar10_ve_ncsnv2"))
+    assert _uses_pc_sampling(
+        get_config("score_sde_cifar10_subvp_ddpmpp_continuous"))
+    assert not _uses_pc_sampling(
+        get_config("score_sde_cifar10_vp_ddpmpp_continuous"))
+    assert not _uses_pc_sampling(get_config("cifar10_ddpm"))
+
+
+def test_train_smld_ncsnpp_keeps_dropout_live(tmp_path):
+    """Discrete-VE NCSN++ training runs the net non-deterministically
+    (dropout rng threaded through smld_loss_fn model_rng=True)."""
+    import dataclasses
+
+    from dpm_solver_tpu.models import NCSNppConfig
+    from dpm_solver_tpu.run_lib import train
+
+    base = get_config("score_sde_cifar10_ve_ncsnpp")
+    tiny = NCSNppConfig.tiny(fir=True, progressive_input="residual",
+                             scale_by_sigma=True, data_centered=False,
+                             dropout=0.1, num_scales=16)
+    cfg = dataclasses.replace(
+        base, model_config=tiny,
+        data=dataclasses.replace(base.data, image_size=16),
+        training=dataclasses.replace(base.training, batch_size=4,
+                                     num_scales=16),
+        workdir=str(tmp_path / "wd"))
+    rs = np.random.RandomState(0)
+
+    def it():
+        while True:
+            yield rs.rand(4, 16, 16, 3).astype(np.float32)
+
+    state = train(cfg, it(), max_steps=2)
+    assert int(state.step) == 2
+    import jax
+
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(state.params))
 
 
 def test_train_smld_discrete_ve(tmp_path):
