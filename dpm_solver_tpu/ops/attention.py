@@ -91,6 +91,114 @@ def _forward(q, k, v, scale, block_q, interpret):
     return out[:, :t]
 
 
+_BLOCK_K = 1024
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  scale: float, s_real: int, block_k: int, nk: int):
+    """Streaming (blocked-K) attention step: running max/sum rescaling keeps
+    VMEM use constant in S. Scratch m/l/acc persist across the (sequential)
+    k grid dimension; out is written on the last k block."""
+    kidx = pl.program_id(2)
+
+    @pl.when(kidx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if s_real % block_k:  # file has a padded tail block: mask those keys
+        base = kidx * block_k
+        ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + base
+        logits = jnp.where(ids < s_real, logits, -jnp.inf)
+
+    m_prev = m_ref[:, :1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    # fully-padded tail blocks leave m unchanged; alpha=1, p=0
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:, :1] = m_new
+
+    @pl.when(kidx == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
+    bh, t, d = q.shape
+    s = k.shape[1]
+    t_pad = -t % block_q
+    s_pad = -s % block_k
+    if t_pad:
+        q = jnp.pad(q, ((0, 0), (0, t_pad), (0, 0)))
+    if s_pad:
+        k = jnp.pad(k, ((0, 0), (0, s_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, s_pad), (0, 0)))
+    tq, ts = t + t_pad, s + s_pad
+    nk = ts // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, s_real=s,
+                          block_k=block_k, nk=nk),
+        grid=(bh, tq // block_q, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :t]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(q, k, v, scale: Optional[float] = None,
+                    block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K,
+                    interpret: bool = False):
+    """softmax(q k^T * scale) v with O(block_q * block_k) VMEM — covers the
+    long-sequence regime the full-panel kernel can't (e.g. SD-2.1 at 768px:
+    9216-token self-attention)."""
+    d = q.shape[-1]
+    eff = (d ** -0.5) if scale is None else scale
+    return _flash_forward(q, k, v, eff, block_q, block_k, interpret)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    return flash_attention(q, k, v, scale, block_q, block_k, interpret), \
+        (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    f = lambda q_, k_, v_: attention_xla(q_, k_, v_, scale=scale)
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_attention(q, k, v, scale: Optional[float] = None,
                     block_q: int = _BLOCK_Q, interpret: bool = False):
@@ -131,17 +239,24 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
                 .transpose(0, 2, 1, 3).reshape(b * num_heads, length, dh))
 
     qh, kh, vh = split(q, t), split(k, s), split(v, s)
+    # full-panel kernel only when the whole (S, dh) K/V + (block_q, S)
+    # logits regime fits VMEM; beyond that the streamed kernel takes over
+    fits = (s + (-s % _BLOCK_Q)) * max(dh, 128) * 4 * 2 < 8_000_000
     if use_pallas is None:
-        fits = (s + (-s % _BLOCK_Q)) * max(dh, 128) * 4 * 2 < 8_000_000
         # measured on v5e (bf16, device-side-scalar sync): pallas is
         # 1.2-1.7x XLA whenever the key length makes the logits panel wide
         # (self-attention S >= 1024, any dh 40-160) or the head dim is large
         # (dh >= 128 at any S); XLA wins for short-key cross-attention
         # (S=77) and small-dh short-S self-attention
-        use_pallas = (jax.default_backend() == "tpu" and fits
+        use_pallas = (jax.default_backend() == "tpu"
                       and (s >= 1024 or dh >= 128))
     if use_pallas or interpret:
-        out = fused_attention(qh, kh, vh, scale, _BLOCK_Q, interpret)
+        if fits:
+            out = fused_attention(qh, kh, vh, scale, _BLOCK_Q, interpret)
+        else:
+            # long-S regime (SD@768px: S=9216): streamed blocked-K kernel
+            out = flash_attention(qh, kh, vh, scale, _BLOCK_Q, _BLOCK_K,
+                                  interpret)
     else:
         out = attention_xla(qh, kh, vh, scale=scale)
     return (out.reshape(b, num_heads, t, dh)

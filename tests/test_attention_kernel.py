@@ -47,3 +47,40 @@ def test_custom_scale():
     got = fused_attention(q, q, q, 0.5, 128, True)
     want = attention_xla(q, q, q, scale=0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-6)
+
+
+@pytest.mark.parametrize("shape,blocks", [
+    ((2, 300, 300, 64), (128, 128)),   # padded tail key block
+    ((1, 128, 2500, 40), (128, 1024)),  # long-S regime, uneven
+    ((3, 70, 70, 160), (128, 256)),     # tiny, fully padded tail
+    ((1, 129, 1025, 64), (128, 512)),
+])
+def test_flash_attention_matches_xla(shape, blocks):
+    """Blocked-K streaming kernel (running-max rescaling) is numerically
+    exact vs the reference composition across padding regimes."""
+    from dpm_solver_tpu.ops.attention import flash_attention
+
+    bh, t, s, d = shape
+    bq, bk = blocks
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(bh, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    want = attention_xla(q, k, v)
+    got = flash_attention(q, k, v, None, bq, bk, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-6)
+
+
+def test_flash_attention_grad_falls_back_to_xla():
+    from dpm_solver_tpu.ops.attention import flash_attention
+
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 64, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 96, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 96, 32).astype(np.float32))
+    f = lambda q, k, v: flash_attention(q, k, v, None, 64, 64, True).sum()
+    g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(lambda q, k, v: attention_xla(q, k, v).sum(),
+                    argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
