@@ -149,6 +149,7 @@ def cmd_sample(args):
     import jax.numpy as jnp
 
     from dpm_solver_tpu.configs import get_config
+    from dpm_solver_tpu.data import inverse_data_transform
     from dpm_solver_tpu.run_lib import build_model
 
     config = get_config(args.config)
@@ -227,8 +228,6 @@ def cmd_sample(args):
             raise SystemExit(f"--base-samples holds {arr.shape[0]} images "
                              f"< batch {args.batch}")
     if _uses_pc_sampling(config):
-        from dpm_solver_tpu.data import inverse_data_transform
-
         sde, sampler = _build_pc_sampler_from_config(config, model)
         rng = jax.random.PRNGKey(args.seed)
         x_T = sde.prior_sampling(
@@ -265,9 +264,9 @@ def cmd_sample(args):
         # sample_sequence): files named {sample}_{step}.png
         out, intermediates = out
         for step_i, x_i in enumerate(intermediates):
-            imgs = np.clip((np.asarray(x_i) + 1.0) / 2.0, 0.0, 1.0)
+            imgs = np.asarray(inverse_data_transform(config.data, x_i))
             _save_images(imgs, args.outdir, prefix=f"seq_step{step_i:03d}")
-    imgs = np.clip((np.asarray(out) + 1.0) / 2.0, 0.0, 1.0)
+    imgs = np.asarray(inverse_data_transform(config.data, out))
     _save_images(imgs, args.outdir)
     print(f"wrote {imgs.shape[0]} samples to {args.outdir} (mode={mode})")
 
