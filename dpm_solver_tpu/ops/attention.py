@@ -254,8 +254,12 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
         if fits:
             out = fused_attention(qh, kh, vh, scale, _BLOCK_Q, interpret)
         else:
-            # long-S regime (SD@768px: S=9216): streamed blocked-K kernel
-            out = flash_attention(qh, kh, vh, scale, _BLOCK_Q, _BLOCK_K,
+            # long-S regime (SD@768px: S=9216): streamed blocked-K kernel.
+            # v5e sweep at (40, 9216, 64) bf16: bq=512/bk=1024 hits 52 TF/s
+            # vs 29 at bq=128 and 27 for XLA — big query tiles amortize the
+            # K/V panel loads
+            bq = 512 if t >= 3072 else (256 if t >= 1024 else _BLOCK_Q)
+            out = flash_attention(qh, kh, vh, scale, bq, _BLOCK_K,
                                   interpret)
     else:
         out = attention_xla(qh, kh, vh, scale=scale)
