@@ -120,10 +120,12 @@ class AttnBlock(nn.Module):
         q = nin("q")(h).reshape(b, hh * ww, c)
         k = nin("k")(h).reshape(b, hh * ww, c)
         v = nin("v")(h).reshape(b, hh * ww, c)
-        # softmax in fp32 for stability under bf16 activations
-        logits = jnp.einsum("bqc,bkc->bqk", q, k).astype(jnp.float32) * (c ** -0.5)
-        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(b, hh, ww, c)
+        # shared attention op (Pallas on TPU for the dh>=128 regime;
+        # fp32 softmax inside either path)
+        from dpm_solver_tpu.ops.attention import token_attention
+
+        h = token_attention(q, k, v, num_heads=1,
+                            scale=c ** -0.5).reshape(b, hh, ww, c)
         return x + nin("proj_out")(h)
 
 

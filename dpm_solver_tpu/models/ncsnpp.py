@@ -189,9 +189,9 @@ class SelfAttention2D(nn.Module):
         qkv = nn.Dense(3 * c, kernel_init=ddpm_init(), name="qkv")(
             h.reshape(b, hh * ww, c))
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k) * (c ** -0.5)
-        att = jax.nn.softmax(logits, axis=-1)
-        h = jnp.einsum("bqk,bkc->bqc", att, v)
+        from dpm_solver_tpu.ops.attention import token_attention
+
+        h = token_attention(q, k, v, num_heads=1, scale=c ** -0.5)
         h = nn.Dense(c, kernel_init=ddpm_init(self.init_scale), name="proj")(h)
         h = x + h.reshape(b, hh, ww, c)
         return h / math.sqrt(2.0) if self.skip_rescale else h
