@@ -95,8 +95,16 @@ def main():
     fn = build_sampler(model_fn, ns, steps=args.steps, order=2,
                        method="multistep", skip_type="time_uniform")
 
+    # hoist the 866M closed-over params into jit ARGUMENTS (see
+    # solver/sample.py _jit_hoisting_constants: closure constants embed
+    # ~3.7 GB of weights into the lowered HLO otherwise)
+    from dpm_solver_tpu.solver.sample import _jit_hoisting_constants
+
+    x_T = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (args.batch, args.latent, args.latent, 4)), jnp.float32)
+
     if args.skip_vae:
-        pipe = jax.jit(fn)
+        pipe = _jit_hoisting_constants(fn, x_T, None)
     else:
         vae = AutoencoderKL(config=VAEConfig.sd_v1(),
                             dtype=jnp.bfloat16)
@@ -110,10 +118,8 @@ def main():
             return vae.apply(vae_params, z / 0.18215,
                              method=AutoencoderKL.decode)
 
-        pipe = jax.jit(pipe_fn)
+        pipe = _jit_hoisting_constants(pipe_fn, x_T, None)
 
-    x_T = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (args.batch, args.latent, args.latent, 4)), jnp.float32)
     t0 = time.perf_counter()
     sync(pipe(x_T))
     print(f"# compile+warm: {time.perf_counter()-t0:.0f}s", file=sys.stderr,
