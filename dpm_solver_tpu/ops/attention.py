@@ -252,7 +252,10 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
                       and (s >= 1024 or dh >= 128))
     if use_pallas or interpret:
         if fits:
-            out = fused_attention(qh, kh, vh, scale, _BLOCK_Q, interpret)
+            # v5e sweep at (80, 2304, 64): bq=256 edges out 128 (22 vs 20
+            # TF/s) once the query dim is long enough to tile
+            bq = 256 if t >= 2048 else _BLOCK_Q
+            out = fused_attention(qh, kh, vh, scale, bq, interpret)
         else:
             # long-S regime (SD@768px: S=9216): streamed blocked-K kernel.
             # v5e sweep at (40, 9216, 64) bf16: bq=512/bk=1024 hits 52 TF/s
