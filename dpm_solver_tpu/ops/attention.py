@@ -261,7 +261,9 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
             # v5e sweep at (40, 9216, 64) bf16: bq=512/bk=1024 hits 52 TF/s
             # vs 29 at bq=128 and 27 for XLA — big query tiles amortize the
             # K/V panel loads
-            bq = 512 if t >= 3072 else (256 if t >= 1024 else _BLOCK_Q)
+            bq = (1024 if t >= 8192 else
+                  512 if t >= 3072 else
+                  256 if t >= 1024 else _BLOCK_Q)
             out = flash_attention(qh, kh, vh, scale, bq, _BLOCK_K,
                                   interpret)
     else:
