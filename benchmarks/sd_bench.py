@@ -98,13 +98,13 @@ def main():
     # hoist the 866M closed-over params into jit ARGUMENTS (see
     # solver/sample.py _jit_hoisting_constants: closure constants embed
     # ~3.7 GB of weights into the lowered HLO otherwise)
-    from dpm_solver_tpu.solver.sample import _jit_hoisting_constants
+    from dpm_solver_tpu.solver import jit_hoisting_constants
 
     x_T = jnp.asarray(np.random.default_rng(0).standard_normal(
         (args.batch, args.latent, args.latent, 4)), jnp.float32)
 
     if args.skip_vae:
-        pipe = _jit_hoisting_constants(fn, x_T, None)
+        pipe = jit_hoisting_constants(fn, x_T)
     else:
         vae = AutoencoderKL(config=VAEConfig.sd_v1(),
                             dtype=jnp.bfloat16)
@@ -118,7 +118,7 @@ def main():
             return vae.apply(vae_params, z / 0.18215,
                              method=AutoencoderKL.decode)
 
-        pipe = _jit_hoisting_constants(pipe_fn, x_T, None)
+        pipe = jit_hoisting_constants(pipe_fn, x_T)
 
     t0 = time.perf_counter()
     sync(pipe(x_T))

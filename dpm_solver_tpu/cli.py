@@ -314,7 +314,11 @@ def cmd_eval(args):
     import jax
 
     from dpm_solver_tpu.configs import get_config
-    from dpm_solver_tpu.run_lib import build_model, evaluate
+    from dpm_solver_tpu.run_lib import (
+        build_model,
+        evaluate,
+        uses_legacy_discrete_loss,
+    )
 
     config = get_config(args.config, workdir=args.workdir)
     if args.batch_size:
@@ -355,7 +359,9 @@ def cmd_eval(args):
         out = solver.sample(x_T, steps=scfg.steps, t_end=scfg.t_end or 1e-3,
                             order=scfg.order, skip_type=scfg.skip_type,
                             method=scfg.method)
-        return np.clip((np.asarray(out) + 1.0) / 2.0, 0.0, 1.0)
+        from dpm_solver_tpu.data import inverse_data_transform
+
+        return np.asarray(inverse_data_transform(d, out))
 
     feature_fn = None
     if config.eval.inception_ckpt_path:
@@ -414,29 +420,20 @@ def cmd_eval(args):
                 inverse_scaler_grad=0.5 if config.data.centered else 1.0)
             return lf(rng, _batch())[0]
 
-    elif args.data_path and (
-            config.model_family in ("ncsnpp", "ncsnv2")
-            or (config.model_family == "ddpm_unet"
-                and config.training.sde == "vesde")):
+    elif args.data_path and uses_legacy_discrete_loss(config):
         # discretely-trained score nets: eval loss is the legacy objective
         # (ref losses.py get_step_fn routes SMLD/DDPM when not continuous)
         import jax.numpy as jnp
 
         from dpm_solver_tpu.data import make_dataset, numpy_iterator
-        from dpm_solver_tpu.run_lib import _make_sde, score_net_apply
-        from dpm_solver_tpu.training.losses import ddpm_loss_fn, smld_loss_fn
+        from dpm_solver_tpu.run_lib import legacy_loss_fn
 
         images = np.load(args.data_path)["images"]
         ds = make_dataset(images, batch_size=config.eval.batch_size,
                           num_local_devices=1, random_flip=False,
                           centered=config.data.centered, shuffle=True)
         data_iter = numpy_iterator(ds)
-        sde = _make_sde(config)
-        apply_labels = score_net_apply(model, config.model_family)
-
-        _loss = (smld_loss_fn if config.training.sde == "vesde"
-                 else ddpm_loss_fn)(
-            sde, apply_labels, reduce_mean=config.training.reduce_mean)
+        _loss = legacy_loss_fn(config, model)
 
         def loss_fn(state, rng):
             b = next(data_iter)

@@ -223,8 +223,8 @@ def lsun_dataset(root: str, *, resolution: int, batch_size: int,
                 order = (rng.permutation(len(table)) if shuffle
                          else np.arange(len(table)))
                 for j in order:
-                    voff, vlen = int(table[j, 2]), int(table[j, 3])
-                    yield decode(reader._buf[voff:voff + vlen])
+                    yield decode(reader.read(int(table[j, 2]),
+                                             int(table[j, 3])))
             else:
                 for _, buf in reader.items():
                     yield decode(buf)

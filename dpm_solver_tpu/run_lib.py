@@ -107,6 +107,29 @@ def score_net_apply(model, family: str, *, train: bool = False):
     return apply_fn
 
 
+def uses_legacy_discrete_loss(config: Config) -> bool:
+    """Discretely-labelled score nets train/eval with the legacy SMLD /
+    DDPM objectives (ref losses.py:124-178) instead of the continuous
+    score-matching loss or the ddpm-example's eps-MSE."""
+    if config.training.continuous:
+        return False
+    return (config.model_family in ("ncsnpp", "ncsnv2")
+            or (config.model_family == "ddpm_unet"
+                and config.training.sde in ("vesde", "subvpsde")))
+
+
+def legacy_loss_fn(config: Config, model, *, train: bool = False):
+    """The SMLD/legacy-DDPM loss for a `uses_legacy_discrete_loss` config,
+    with the family's label convention and (when training) live dropout."""
+    from dpm_solver_tpu.training.losses import ddpm_loss_fn, smld_loss_fn
+
+    sde = _make_sde(config)
+    apply_fn = score_net_apply(model, config.model_family, train=train)
+    make = smld_loss_fn if config.training.sde == "vesde" else ddpm_loss_fn
+    return make(sde, apply_fn, reduce_mean=config.training.reduce_mean,
+                model_rng=train)
+
+
 def _make_sde(config: Config):
     from dpm_solver_tpu.sde import SubVPSDE, VESDE, VPSDE
 
@@ -158,30 +181,11 @@ def train(config: Config, data_iter: Iterator[np.ndarray], *,
                               likelihood_weighting=tcfg.likelihood_weighting,
                               score_rng=True)
         step_fn = make_score_train_step(loss_fn, tx)
-    elif config.model_family in ("ncsnpp", "ncsnv2") or (
-            config.model_family == "ddpm_unet"
-            and tcfg.sde in ("vesde", "subvpsde")):
-        # discretely-trained score nets use the legacy objectives on the
-        # sigma/beta ladder (ref losses.py:124-178 SMLD / legacy DDPM);
-        # ddpm-arch VE configs (ve/cifar10_ddpm.py) are SMLD too
-        from dpm_solver_tpu.training.losses import (
-            ddpm_loss_fn,
-            make_score_train_step,
-            smld_loss_fn,
-        )
+    elif uses_legacy_discrete_loss(config):
+        from dpm_solver_tpu.training.losses import make_score_train_step
 
-        sde = _make_sde(config)
-        apply_labels = score_net_apply(model, config.model_family,
-                                       train=True)
-        if tcfg.sde == "vesde":
-            loss_fn = smld_loss_fn(sde, apply_labels,
-                                   reduce_mean=tcfg.reduce_mean,
-                                   model_rng=True)
-        else:
-            loss_fn = ddpm_loss_fn(sde, apply_labels,
-                                   reduce_mean=tcfg.reduce_mean,
-                                   model_rng=True)
-        step_fn = make_score_train_step(loss_fn, tx)
+        step_fn = make_score_train_step(
+            legacy_loss_fn(config, model, train=True), tx)
     else:
         from dpm_solver_tpu.schedule import NoiseScheduleVP
         from dpm_solver_tpu.training.train import make_train_step

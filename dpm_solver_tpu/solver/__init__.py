@@ -12,6 +12,7 @@ from dpm_solver_tpu.solver.sample import (
     DPM_Solver,
     build_sampler,
     execute_plan,
+    jit_hoisting_constants,
     make_plan,
 )
 
@@ -26,6 +27,7 @@ __all__ = [
     "execute_plan",
     "get_orders_and_timesteps_for_singlestep_solver",
     "get_time_steps",
+    "jit_hoisting_constants",
     "make_dynamic_thresholding",
     "make_plan",
 ]

@@ -225,7 +225,7 @@ def make_plan(
     raise ValueError(f"make_plan supports fixed-grid methods, got {method!r}")
 
 
-def _jit_hoisting_constants(fn, x, rng):
+def jit_hoisting_constants(fn, x, rng=None):
     """jit `fn(x, rng=...)` with closed-over arrays passed as ARGUMENTS.
 
     The reference-compatible API closes the solver over `model_fn` — and with
@@ -460,7 +460,7 @@ class DPM_Solver:
                 return_intermediate=return_intermediate,
             )
             if jit:
-                fn = _jit_hoisting_constants(fn, x, rng)
+                fn = jit_hoisting_constants(fn, x, rng)
             self._compiled_cache[key] = fn
         return fn(x, rng=rng)
 
@@ -499,3 +499,7 @@ class DPM_Solver:
             atol=atol, rtol=rtol, return_intermediate=return_intermediate,
             rng=rng, jit=jit,
         )
+
+
+# backwards-compatible private alias
+_jit_hoisting_constants = jit_hoisting_constants

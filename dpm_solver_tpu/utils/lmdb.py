@@ -192,6 +192,11 @@ class LMDBReader:
         for _, v in self.items():
             yield v
 
+    def read(self, offset: int, length: int) -> bytes:
+        """Raw mmap slice — pairs with `entry_table()` rows for zero-copy
+        random access to keys/values."""
+        return self._buf[offset:offset + length]
+
     def entry_table(self):
         """(n, 4) uint64 rows of (key_off, key_len, val_off, val_len) in key
         order from the native C++ walker (native/lmdb_walk.cpp), or ``None``
