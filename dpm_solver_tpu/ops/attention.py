@@ -244,12 +244,12 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
     fits = (s + (-s % _BLOCK_Q)) * max(dh, 128) * 4 * 2 < 8_000_000
     if use_pallas is None:
         # measured on v5e (bf16, device-side-scalar sync): pallas is
-        # 1.2-1.7x XLA whenever the key length makes the logits panel wide
-        # (self-attention S >= 1024, any dh 40-160) or the head dim is large
-        # (dh >= 128 at any S); XLA wins for short-key cross-attention
-        # (S=77) and small-dh short-S self-attention
-        use_pallas = (jax.default_backend() == "tpu"
-                      and (s >= 1024 or dh >= 128))
+        # 1.2-1.9x XLA whenever the key length makes the logits panel wide
+        # (self-attention S >= 1024, any dh 40-160); XLA wins for short
+        # sequences — at T=S=256 pallas measured 0.6-1.2x across dh 128-512
+        # (grid too small to amortize per-program overhead) and for
+        # short-key cross-attention (S=77)
+        use_pallas = jax.default_backend() == "tpu" and s >= 1024
     if use_pallas or interpret:
         if fits:
             # v5e sweep at (80, 2304, 64): bq=256 edges out 128 (22 vs 20
