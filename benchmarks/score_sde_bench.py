@@ -1,0 +1,128 @@
+"""ScoreSDE continuous-VP benchmark: NCSN++ deep, singlestep order-3,
+10 NFE, logSNR, eps 1e-3 (score_sde_jax/sample.sh:1-10; BASELINE config[1]).
+
+Ours: the full singlestep trajectory as ONE XLA program. Baseline: the
+reference's own dpm_solver_jax.py driving the identical flax model (its
+singlestep loop runs under lax.fori_loop, so this measures the solver
+orchestration apples-to-apples on the same chip).
+
+Measured on v5e (batch 256, deep): ~285 samples/s at vs_baseline ~0.99 —
+singlestep is compute-bound in the 107M NCSN++ (both sides ~50% of bf16
+peak), so parity is the expected result here; the orchestration win shows
+on the multistep CIFAR headline (bench.py, 1.5x), where the reference pays
+rolled history buffers per step.
+
+Run on a TPU host: python benchmarks/score_sde_bench.py [--batch 256]
+[--deep/--no-deep]; prints one JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def sync(out):
+    import jax
+
+    return float(jax.tree.leaves(out)[0].ravel()[0])
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--deep", action=argparse.BooleanOptionalAction,
+                   default=True)
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from dpm_solver_tpu import NoiseScheduleVP, build_sampler, model_wrapper
+    from dpm_solver_tpu.models import NCSNpp, NCSNppConfig
+
+    cfg = (NCSNppConfig.tiny() if args.tiny
+           else NCSNppConfig.cifar10_ddpmpp(deep=args.deep))
+    model = NCSNpp(config=cfg)
+    side = cfg.image_size
+    t0 = time.perf_counter()
+    params = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, side, side, 3)), jnp.ones((1,)),
+        deterministic=True))(jax.random.key(0))
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"# ncsnpp init: {n_params/1e6:.1f}M params, "
+          f"{time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+
+    # continuous-VP: linear schedule, labels t*999 (ref sampling.py:562,571)
+    raw = lambda x, t: model.apply(params, x, t * 999.0, deterministic=True)
+    ns = NoiseScheduleVP.linear()
+    x_T = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (args.batch, side, side, 3)), jnp.float32)
+
+    def timeit(fn, reps):
+        sync(fn(x_T))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = fn(x_T)
+        sync(out)
+        return (time.perf_counter() - t0) / reps
+
+    from dpm_solver_tpu.solver import jit_hoisting_constants
+
+    model_fn = model_wrapper(raw, ns, model_type="noise")
+    # hoist the 107M closed-over params into jit arguments — as HLO
+    # constants they stall (or 413) the tunneled remote compile
+    ours_fn = jit_hoisting_constants(build_sampler(
+        model_fn, ns, steps=args.steps, order=3, method="singlestep",
+        skip_type="logSNR", t_end=1e-3), x_T)
+    t_ours = timeit(ours_fn, args.reps)
+    print(f"# ours: {t_ours*1e3:.1f} ms/batch", file=sys.stderr, flush=True)
+
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "reference_dpm_solver_jax", "/root/reference/dpm_solver_jax.py")
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        ns_ref = ref.NoiseScheduleVP("linear")
+        ref_model_fn = ref.model_wrapper(
+            lambda x, t, **kw: raw(x, t), ns_ref, model_type="noise")
+        solver = ref.DPM_Solver(ref_model_fn, ns_ref)
+        ref_fn = jit_hoisting_constants(lambda x: solver.sample(
+            x, steps=args.steps, order=3, method="singlestep",
+            skip_type="logSNR", t_start=jnp.asarray(1.0),
+            t_end=jnp.asarray(1e-3)), x_T)
+        t_base = timeit(ref_fn, args.reps)
+        baseline = "reference_dpm_solver_jax"
+    except Exception as e:  # noqa: BLE001
+        print(f"# baseline failed: {type(e).__name__}: {e}", file=sys.stderr)
+        t_base, baseline = float("nan"), "none"
+
+    sps = args.batch / t_ours
+    print(f"# ours {sps:.1f} samples/s; baseline[{baseline}] "
+          f"{args.batch/t_base:.1f} samples/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "score_sde_ncsnpp_10nfe_singlestep3_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(t_base / t_ours, 3),
+        "batch": args.batch,
+        "deep": args.deep,
+    }))
+
+
+if __name__ == "__main__":
+    main()
