@@ -41,6 +41,9 @@ def main():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--deep", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--dtype", choices=["fp32", "bf16"], default="fp32",
+                   help="model compute dtype; the reference runs fp32 — "
+                        "bf16 measures our serving path's headroom")
     args = p.parse_args()
 
     import jax
@@ -54,7 +57,8 @@ def main():
 
     cfg = (NCSNppConfig.tiny() if args.tiny
            else NCSNppConfig.cifar10_ddpmpp(deep=args.deep))
-    model = NCSNpp(config=cfg)
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = NCSNpp(config=cfg, compute_dtype=dt)
     side = cfg.image_size
     t0 = time.perf_counter()
     params = jax.jit(lambda r: model.init(
@@ -121,6 +125,7 @@ def main():
         "vs_baseline": round(t_base / t_ours, 3),
         "batch": args.batch,
         "deep": args.deep,
+        "dtype": args.dtype,
     }))
 
 

@@ -181,19 +181,21 @@ class SelfAttention2D(nn.Module):
 
     skip_rescale: bool = True
     init_scale: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, hh, ww, c = x.shape
         h = _gn(c, "norm")(x)
-        qkv = nn.Dense(3 * c, kernel_init=ddpm_init(), name="qkv")(
-            h.reshape(b, hh * ww, c))
+        qkv = nn.Dense(3 * c, kernel_init=ddpm_init(), dtype=self.dtype,
+                       name="qkv")(h.reshape(b, hh * ww, c))
         q, k, v = jnp.split(qkv, 3, axis=-1)
         from dpm_solver_tpu.ops.attention import token_attention
 
         h = token_attention(q, k, v, num_heads=1, scale=c ** -0.5)
-        h = nn.Dense(c, kernel_init=ddpm_init(self.init_scale), name="proj")(h)
-        h = x + h.reshape(b, hh, ww, c)
+        h = nn.Dense(c, kernel_init=ddpm_init(self.init_scale),
+                     dtype=self.dtype, name="proj")(h)
+        h = x.astype(h.dtype) + h.reshape(b, hh, ww, c)
         return h / math.sqrt(2.0) if self.skip_rescale else h
 
 
@@ -207,6 +209,7 @@ class Resample(nn.Module):
     with_conv: bool = False
     fir: bool = False
     fir_kernel: Tuple[float, ...] = (1.0, 3.0, 3.0, 1.0)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -218,10 +221,11 @@ class Resample(nn.Module):
                 x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
                 if self.with_conv:
                     x = nn.Conv(out_ch, (3, 3), kernel_init=ddpm_init(),
-                                name="conv")(x)
+                                dtype=self.dtype, name="conv")(x)
             elif self.with_conv:
                 x = nn.Conv(out_ch, (3, 3), strides=(2, 2), padding="SAME",
-                            kernel_init=ddpm_init(), name="conv")(x)
+                            kernel_init=ddpm_init(), dtype=self.dtype,
+                            name="conv")(x)
             else:
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2), padding="SAME")
         elif not self.with_conv:
@@ -231,7 +235,8 @@ class Resample(nn.Module):
             kern = self.param("kernel", ddpm_init(), (3, 3, c, out_ch))
             bias = self.param("bias", jax.nn.initializers.zeros, (out_ch,))
             fn = rs.upsample_conv_2d if up else rs.conv_downsample_2d
-            x = fn(x, kern, k=self.fir_kernel) + bias
+            x = fn(x, kern.astype(x.dtype),
+                   k=self.fir_kernel) + bias.astype(x.dtype)
         return x
 
 
@@ -248,6 +253,7 @@ class ResBlockpp(nn.Module):
     init_scale: float = 0.0
     fir: bool = False
     fir_kernel: Tuple[float, ...] = (1.0, 3.0, 3.0, 1.0)
+    dtype: Any = jnp.float32
 
     def _resample(self, v):
         if self.direction is None:
@@ -268,18 +274,20 @@ class ResBlockpp(nn.Module):
         if self.variant == "biggan":
             h = self._resample(h)
             x = self._resample(x)
-        h = nn.Conv(out_ch, (3, 3), kernel_init=ddpm_init(), name="conv1")(h)
+        h = nn.Conv(out_ch, (3, 3), kernel_init=ddpm_init(),
+                    dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=ddpm_init(),
+                             dtype=self.dtype,
                              name="temb_proj")(act(temb))[:, None, None, :]
         h = act(_gn(out_ch, "norm2")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(out_ch, (3, 3), kernel_init=ddpm_init(self.init_scale),
-                    name="conv2")(h)
+                    dtype=self.dtype, name="conv2")(h)
         if c != out_ch or self.direction is not None:
             x = nn.Conv(out_ch, (1, 1), kernel_init=ddpm_init(),
-                        name="shortcut")(x)
-        h = x + h
+                        dtype=self.dtype, name="shortcut")(x)
+        h = (x.astype(h.dtype) if x.dtype != h.dtype else x) + h
         return h / math.sqrt(2.0) if self.skip_rescale else h
 
 
@@ -288,10 +296,14 @@ class NCSNpp(nn.Module):
     for `positional` embedding, sigmas for `fourier` (ref ncsnpp.py:41-243)."""
 
     config: NCSNppConfig
+    # bf16 serving: convs/matmuls in compute_dtype, GroupNorm stats and the
+    # final sigma scaling in fp32 (default fp32 preserves 1e-4 parity)
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, time_cond, *, deterministic=True):
         cfg = self.config
+        dt = self.compute_dtype
         act = get_act(cfg.nonlinearity)
         levels = len(cfg.ch_mult)
         res_at = [cfg.image_size // (2 ** i) for i in range(levels)]
@@ -301,16 +313,17 @@ class NCSNpp(nn.Module):
                 out_ch=out_ch, variant=cfg.resblock_type, direction=direction,
                 act_name=cfg.nonlinearity, dropout=cfg.dropout,
                 skip_rescale=cfg.skip_rescale, init_scale=cfg.init_scale,
-                fir=cfg.fir, fir_kernel=cfg.fir_kernel, name=name)
+                fir=cfg.fir, fir_kernel=cfg.fir_kernel, dtype=dt, name=name)
 
         def attn(name):
             return SelfAttention2D(skip_rescale=cfg.skip_rescale,
-                                   init_scale=cfg.init_scale, name=name)
+                                   init_scale=cfg.init_scale, dtype=dt,
+                                   name=name)
 
         def pyramid_resample(name, direction, out_ch=None, with_conv=False):
             return Resample(direction=direction, out_ch=out_ch,
                             with_conv=with_conv, fir=cfg.fir,
-                            fir_kernel=cfg.fir_kernel, name=name)
+                            fir_kernel=cfg.fir_kernel, dtype=dt, name=name)
 
         # ---- time / noise-level embedding --------------------------------
         if cfg.embedding_type == "fourier":
@@ -331,9 +344,9 @@ class NCSNpp(nn.Module):
                     x.dtype)
                 used_sigmas = table[time_cond.astype(jnp.int32)]
         if cfg.conditional:
-            temb = nn.Dense(cfg.nf * 4, kernel_init=ddpm_init(),
+            temb = nn.Dense(cfg.nf * 4, kernel_init=ddpm_init(), dtype=dt,
                             name="time_embed_0")(temb)
-            temb = nn.Dense(cfg.nf * 4, kernel_init=ddpm_init(),
+            temb = nn.Dense(cfg.nf * 4, kernel_init=ddpm_init(), dtype=dt,
                             name="time_embed_1")(act(temb))
         else:
             temb = None
@@ -343,7 +356,7 @@ class NCSNpp(nn.Module):
 
         # ---- encoder ------------------------------------------------------
         pyramid_in = x if cfg.progressive_input != "none" else None
-        hs = [nn.Conv(cfg.nf, (3, 3), kernel_init=ddpm_init(),
+        hs = [nn.Conv(cfg.nf, (3, 3), kernel_init=ddpm_init(), dtype=dt,
                       name="conv_in")(x)]
         for i in range(levels):
             for j in range(cfg.num_res_blocks):
@@ -363,7 +376,7 @@ class NCSNpp(nn.Module):
             if cfg.progressive_input == "input_skip":
                 pyramid_in = pyramid_resample(f"down_{i}_pyr", "down")(pyramid_in)
                 z = nn.Conv(h.shape[-1], (1, 1), kernel_init=ddpm_init(),
-                            name=f"down_{i}_combine")(pyramid_in)
+                            dtype=dt, name=f"down_{i}_combine")(pyramid_in)
                 h = (jnp.concatenate([z, h], axis=-1)
                      if cfg.progressive_combine == "cat" else z + h)
             elif cfg.progressive_input == "residual":
@@ -397,7 +410,7 @@ class NCSNpp(nn.Module):
                     branch = nn.Conv(
                         x.shape[-1] if to_img else h.shape[-1], (3, 3),
                         kernel_init=ddpm_init(cfg.init_scale if to_img else 1.0),
-                        name=f"up_{i}_pyr_conv")(
+                        dtype=dt, name=f"up_{i}_pyr_conv")(
                             act(_gn(h.shape[-1], f"up_{i}_pyr_norm")(h)))
                 if i == levels - 1:
                     pyramid = branch
@@ -427,8 +440,9 @@ class NCSNpp(nn.Module):
             h = act(_gn(h.shape[-1], "norm_out")(h))
             h = nn.Conv(cfg.image_channels, (3, 3),
                         kernel_init=ddpm_init(cfg.init_scale),
-                        name="conv_out")(h)
+                        dtype=dt, name="conv_out")(h)
 
+        h = h.astype(jnp.float32)  # solver math downstream is fp32
         if cfg.scale_by_sigma:
             h = h / used_sigmas.reshape(-1, *([1] * (x.ndim - 1)))
         return h

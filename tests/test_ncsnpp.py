@@ -220,3 +220,24 @@ def test_load_score_sde_checkpoint_roundtrip(tmp_path):
         f.write(serialization.msgpack_serialize(state))
     got = load_score_sde_checkpoint(p)
     np.testing.assert_array_equal(got["Conv_0"]["bias"], np.ones(4))
+
+
+def test_bf16_compute_dtype_close_to_fp32():
+    """compute_dtype=bf16 serves the same params with bf16 convs/matmuls
+    (fp32 GroupNorm stats + fp32 output for the solver) and stays close to
+    the fp32 forward."""
+    cfg = NCSNppConfig.tiny(fir=True, progressive_input="residual",
+                            embedding_type="fourier", scale_by_sigma=True,
+                            data_centered=False)
+    model32 = NCSNpp(config=cfg)
+    model16 = NCSNpp(config=cfg, compute_dtype=jnp.bfloat16)
+    x = jax.nn.sigmoid(jax.random.normal(
+        jax.random.PRNGKey(0), (2, cfg.image_size, cfg.image_size, 3)))
+    t = jnp.asarray([0.5, 12.0])
+    params = model32.init(jax.random.PRNGKey(1), x, t, deterministic=True)
+    a = model32.apply(params, x, t, deterministic=True)
+    b = model16.apply(params, x, t, deterministic=True)
+    assert b.dtype == jnp.float32  # solver-facing output stays fp32
+    denom = np.abs(np.asarray(a)).mean() + 1e-6
+    rel = np.abs(np.asarray(a) - np.asarray(b)).mean() / denom
+    assert rel < 0.05, rel
