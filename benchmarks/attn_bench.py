@@ -30,7 +30,10 @@ def main():
     from dpm_solver_tpu.ops.attention import (
         attention_xla,
         flash_attention,
+        flash_block_q,
         fused_attention,
+        panel_block_q,
+        panel_fits_vmem,
     )
 
     def sync(o):
@@ -54,15 +57,14 @@ def main():
         row = [f"BH={bh} T={t} d={d}:"]
         tx = timeit(jax.jit(lambda q, k, v: attention_xla(q, k, v)), q, k, v)
         row.append(f"xla {tx*1e3:.2f}ms ({flops/tx/1e12:.0f}TF/s)")
-        panel_bytes = (t + (-t % 128)) * max(d, 128) * 4 * 2
-        if panel_bytes < 8_000_000:
-            bq = 256 if t >= 2048 else 128
+        if panel_fits_vmem(t, d):
+            bq = panel_block_q(t)
             tp = timeit(jax.jit(
                 lambda q, k, v, bq=bq: fused_attention(q, k, v, None, bq)),
                 q, k, v)
             row.append(f"panel[{bq}] {tp*1e3:.2f}ms "
                        f"({flops/tp/1e12:.0f}TF/s, {tx/tp:.2f}x)")
-        bq = 1024 if t >= 8192 else 512 if t >= 3072 else 256
+        bq = flash_block_q(t)
         tf = timeit(jax.jit(
             lambda q, k, v, bq=bq: flash_attention(q, k, v, None, bq, 1024)),
             q, k, v)

@@ -120,8 +120,8 @@ class AttnBlock(nn.Module):
         q = nin("q")(h).reshape(b, hh * ww, c)
         k = nin("k")(h).reshape(b, hh * ww, c)
         v = nin("v")(h).reshape(b, hh * ww, c)
-        # shared attention op (Pallas on TPU for the dh>=128 regime;
-        # fp32 softmax inside either path)
+        # shared attention op (dispatch picks XLA at these 256-token
+        # shapes — measured faster than Pallas; fp32 softmax either way)
         from dpm_solver_tpu.ops.attention import token_attention
 
         h = token_attention(q, k, v, num_heads=1,

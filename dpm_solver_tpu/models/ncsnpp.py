@@ -235,8 +235,8 @@ class Resample(nn.Module):
             kern = self.param("kernel", ddpm_init(), (3, 3, c, out_ch))
             bias = self.param("bias", jax.nn.initializers.zeros, (out_ch,))
             fn = rs.upsample_conv_2d if up else rs.conv_downsample_2d
-            x = fn(x, kern.astype(x.dtype),
-                   k=self.fir_kernel) + bias.astype(x.dtype)
+            x = fn(x.astype(self.dtype), kern.astype(self.dtype),
+                   k=self.fir_kernel) + bias.astype(self.dtype)
         return x
 
 

@@ -6,12 +6,14 @@ default lowering materializes the (T, T) logits in HBM between the two
 matmuls; this kernel keeps each query block's logits, softmax, and weighted
 sum entirely in VMEM — one HBM read of q/k/v and one write of the output.
 
-Shape regime: per grid step the kernel holds one (block_q, D) query tile
-plus the full (T, D) key/value panels and a (block_q, T) logits tile in
-VMEM — ~7 MB at T=4096, D=160, comfortably under the ~16 MB budget, with
-numerically exact (single-pass, full-row) softmax. For longer sequences use
-the XLA fallback (`attention_xla`); a streamed flash variant is not needed
-for this model family's shapes.
+Two kernels share the dispatch (`token_attention`): the FULL-PANEL kernel
+holds one (block_q, D) query tile plus the full (S, D) key/value panels and
+a (block_q, S) logits tile in VMEM (~7 MB at S=4096, D=160) with
+numerically exact single-pass softmax; beyond the VMEM budget the
+STREAMED (blocked-K flash) kernel takes over with running max/sum
+rescaling and O(block_q * block_k) VMEM — it carries SD-2.1@768px's
+9216-token self-attention at ~52 TF/s (1.9x the XLA lowering on v5e).
+Short sequences (S < 1024) measured faster on plain XLA and stay there.
 
 Differentiable: the backward recomputes through the XLA composition (the
 solver's sampling path never differentiates attention; training does, at
@@ -30,6 +32,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK_Q = 128
+
+
+def panel_fits_vmem(s: int, dh: int) -> bool:
+    """Whether the full-panel kernel's K/V + logits regime fits the VMEM
+    budget (the dispatch and benchmarks share this constant)."""
+    return (s + (-s % _BLOCK_Q)) * max(dh, 128) * 4 * 2 < 8_000_000
+
+
+def panel_block_q(t: int) -> int:
+    """Full-panel query tile (v5e sweep at (80, 2304, 64): bq=256 edges
+    out 128 once the query dim is long enough to tile)."""
+    return 256 if t >= 2048 else _BLOCK_Q
+
+
+def flash_block_q(t: int) -> int:
+    """Flash query tile (v5e sweep at (40, 9216, 64): large tiles amortize
+    the K/V panel loads — 52 TF/s at bq>=512 vs 29 at bq=128)."""
+    if t >= 8192:
+        return 1024
+    if t >= 3072:
+        return 512
+    if t >= 1024:
+        return 256
+    return _BLOCK_Q
 
 
 def attention_xla(q, k, v, *, scale: Optional[float] = None):
@@ -241,7 +267,7 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
     qh, kh, vh = split(q, t), split(k, s), split(v, s)
     # full-panel kernel only when the whole (S, dh) K/V + (block_q, S)
     # logits regime fits VMEM; beyond that the streamed kernel takes over
-    fits = (s + (-s % _BLOCK_Q)) * max(dh, 128) * 4 * 2 < 8_000_000
+    fits = panel_fits_vmem(s, dh)
     if use_pallas is None:
         # measured on v5e (bf16, device-side-scalar sync): pallas is
         # 1.2-1.9x XLA whenever the key length makes the logits panel wide
@@ -252,20 +278,12 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
         use_pallas = jax.default_backend() == "tpu" and s >= 1024
     if use_pallas or interpret:
         if fits:
-            # v5e sweep at (80, 2304, 64): bq=256 edges out 128 (22 vs 20
-            # TF/s) once the query dim is long enough to tile
-            bq = 256 if t >= 2048 else _BLOCK_Q
-            out = fused_attention(qh, kh, vh, scale, bq, interpret)
-        else:
-            # long-S regime (SD@768px: S=9216): streamed blocked-K kernel.
-            # v5e sweep at (40, 9216, 64) bf16: bq=512/bk=1024 hits 52 TF/s
-            # vs 29 at bq=128 and 27 for XLA — big query tiles amortize the
-            # K/V panel loads
-            bq = (1024 if t >= 8192 else
-                  512 if t >= 3072 else
-                  256 if t >= 1024 else _BLOCK_Q)
-            out = flash_attention(qh, kh, vh, scale, bq, _BLOCK_K,
+            out = fused_attention(qh, kh, vh, scale, panel_block_q(t),
                                   interpret)
+        else:
+            # long-S regime (SD@768px: S=9216): streamed blocked-K kernel
+            out = flash_attention(qh, kh, vh, scale, flash_block_q(t),
+                                  _BLOCK_K, interpret)
     else:
         out = attention_xla(qh, kh, vh, scale=scale)
     return (out.reshape(b, num_heads, t, dh)

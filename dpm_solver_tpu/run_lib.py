@@ -115,7 +115,7 @@ def uses_legacy_discrete_loss(config: Config) -> bool:
         return False
     return (config.model_family in ("ncsnpp", "ncsnv2")
             or (config.model_family == "ddpm_unet"
-                and config.training.sde in ("vesde", "subvpsde")))
+                and config.training.sde == "vesde"))
 
 
 def legacy_loss_fn(config: Config, model, *, train: bool = False):
@@ -123,6 +123,10 @@ def legacy_loss_fn(config: Config, model, *, train: bool = False):
     with the family's label convention and (when training) live dropout."""
     from dpm_solver_tpu.training.losses import ddpm_loss_fn, smld_loss_fn
 
+    if config.training.sde == "subvpsde":
+        # mirrors the reference: sub-VP has no discrete objective
+        # (losses.py get_step_fn raises for discrete subVP)
+        raise ValueError("discrete training is undefined for the sub-VP SDE")
     sde = _make_sde(config)
     apply_fn = score_net_apply(model, config.model_family, train=train)
     make = smld_loss_fn if config.training.sde == "vesde" else ddpm_loss_fn
