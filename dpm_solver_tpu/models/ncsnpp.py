@@ -230,7 +230,7 @@ class Resample(nn.Module):
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2), padding="SAME")
         elif not self.with_conv:
             fn = rs.upsample_2d if up else rs.downsample_2d
-            x = fn(x, self.fir_kernel, factor=2)
+            x = fn(x.astype(self.dtype), self.fir_kernel, factor=2)
         else:
             kern = self.param("kernel", ddpm_init(), (3, 3, c, out_ch))
             bias = self.param("bias", jax.nn.initializers.zeros, (out_ch,))
@@ -270,10 +270,10 @@ class ResBlockpp(nn.Module):
         act = get_act(self.act_name)
         c = x.shape[-1]
         out_ch = self.out_ch or c
-        h = act(_gn(c, "norm1")(x))
+        h = act(_gn(c, "norm1")(x)).astype(self.dtype)
         if self.variant == "biggan":
             h = self._resample(h)
-            x = self._resample(x)
+            x = self._resample(x.astype(self.dtype))
         h = nn.Conv(out_ch, (3, 3), kernel_init=ddpm_init(),
                     dtype=self.dtype, name="conv1")(h)
         if temb is not None:
