@@ -131,9 +131,14 @@ class DPMSolverSampler:
                skip_type: str = "time_uniform", method: str = "multistep",
                order: int = 2, lower_order_final: bool = True,
                correcting_xt_fn: Optional[Callable] = None,
-               t_start=None, t_end=None, return_intermediate: bool = True):
+               t_start=None, t_end=None, return_intermediate: bool = True,
+               mesh=None):
         """shape is (H, W, C) latent shape (NHWC world). Returns
-        (x, intermediates) like the reference."""
+        (x, intermediates) like the reference.
+
+        `mesh`: a `jax.sharding.Mesh` — the whole trajectory runs as one
+        pjit program with the latent batch sharded over the mesh's data
+        axis (weights/conditioning replicated; zero collectives)."""
         h, w, c = shape
         if x_T is None:
             if rng is None:
@@ -141,6 +146,20 @@ class DPMSolverSampler:
             x_T = jax.random.normal(rng, (batch_size, h, w, c))
         model_fn = self._model_fn(conditioning, unconditional_conditioning,
                                   unconditional_guidance_scale)
+        if mesh is not None:
+            from dpm_solver_tpu.parallel import make_sharded_sampler
+            from dpm_solver_tpu.solver import build_sampler
+
+            fn = build_sampler(
+                model_fn, self.noise_schedule,
+                algorithm_type="dpmsolver++",
+                correcting_xt_fn=correcting_xt_fn,
+                return_intermediate=return_intermediate,
+                steps=S, t_start=t_start, t_end=t_end, order=order,
+                skip_type=skip_type, method=method,
+                lower_order_final=lower_order_final)
+            out = make_sharded_sampler(fn, mesh)(x_T)
+            return out if return_intermediate else (out, None)
         solver = DPM_Solver(model_fn, self.noise_schedule,
                             algorithm_type="dpmsolver++",
                             correcting_xt_fn=correcting_xt_fn)
@@ -203,7 +222,9 @@ class StableDiffusionPipeline:
 
     def txt2img(self, prompts, *, negative_prompt: str = "", steps: int = 25,
                 guidance_scale: float = 7.5, height: int = 512,
-                width: int = 512, rng=None, order: int = 2):
+                width: int = 512, rng=None, order: int = 2, mesh=None):
+        """`mesh`: shard the prompt batch over a `jax.sharding.Mesh` data
+        axis — the serving scale-out path (batch must divide the axis)."""
         if isinstance(prompts, str):
             prompts = [prompts]
         b = len(prompts)
@@ -216,7 +237,7 @@ class StableDiffusionPipeline:
                        self.model.vae.config.z_channels), cond,
             unconditional_guidance_scale=guidance_scale,
             unconditional_conditioning=uncond, rng=rng, order=order,
-            return_intermediate=False)
+            return_intermediate=False, mesh=mesh)
         img = self.model.decode_first_stage(latents)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
 

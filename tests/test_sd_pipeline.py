@@ -238,3 +238,20 @@ def test_bert_embedder_matches_x_transformer():
         {k: v.numpy() for k, v in ref.state_dict().items()}, depth)
     got = np.asarray(ours.apply(params, jnp.asarray(tokens)))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_txt2img_sharded_matches_single_device():
+    """txt2img over an 8-device mesh == the single-device result (the
+    serving scale-out path: batch sharded, weights/cond replicated)."""
+    from dpm_solver_tpu.parallel import make_mesh
+
+    pipe = StableDiffusionPipeline(_tiny_ldm())
+    prompts = [f"prompt {i}" for i in range(8)]
+    rng = jax.random.PRNGKey(3)
+    want = np.asarray(pipe.txt2img(prompts, steps=4, height=16, width=16,
+                                   rng=rng))
+    mesh = make_mesh()
+    got = np.asarray(pipe.txt2img(prompts, steps=4, height=16, width=16,
+                                  rng=rng, mesh=mesh))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
