@@ -136,13 +136,40 @@ class PlanRows:
 
 
 @dataclasses.dataclass(frozen=True)
+class SegScan:
+    """A run of same-order singlestep segments executed as ONE `lax.scan`.
+
+    `rows` holds PlanRows whose arrays have shape [n_seg, R, ...]: R static
+    micro-ops per segment (identity+eval at the segment start, then the
+    order's intermediate/final updates). Because singlestep segments never
+    share model evaluations across segments (all updates are anchored at the
+    segment start, ref dpm_solver_pytorch.py:594-794), the scan carry is just
+    the state x and the history resets inside the body — the compiled program
+    contains R-1 model-eval instances instead of one per NFE. This is the
+    `to_sparse_list` same-order grouping of the reference JAX driver
+    (dpm_solver_jax.py:1111-1114,1181-1197) in coefficient-table form.
+    """
+
+    rows: PlanRows                              # arrays shaped [n_seg, R]
+    eval_after: Tuple[bool, ...]                # per micro-op, length R
+    commit: Tuple[bool, ...]                    # per micro-op, length R
+    step_index: np.ndarray = None               # [n_seg] outer-step index
+
+    @property
+    def n_seg(self) -> int:
+        return self.rows.a.shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
 class SamplePlan:
     """A fully-planned trajectory.
 
     `scan_rows` is the homogeneous body (every row: update -> commit -> eval),
-    executed under `lax.scan`. `tail_rows`/`tail_flags` are the heterogeneous
-    remainder executed unrolled (singlestep micro-ops, the final no-eval
-    update, denoise_to_zero). `t_first` is the initial model-eval time.
+    executed under `lax.scan`. `seg_scans` are runs of same-order singlestep
+    segments, one `lax.scan` each. `tail_rows`/`tail_flags` are the
+    heterogeneous remainder executed unrolled (singleton singlestep segments,
+    the final no-eval update, denoise_to_zero). `t_first` is the initial
+    model-eval time.
     """
 
     t_first: float
@@ -150,6 +177,7 @@ class SamplePlan:
     sigma_first: float
     scan_rows: Optional[PlanRows]               # homogeneous prefix (may be None)
     tail_rows: Optional[PlanRows]               # unrolled remainder (may be None)
+    seg_scans: Tuple["SegScan", ...] = ()       # scanned singlestep groups
     tail_eval: Tuple[bool, ...] = ()            # eval-after flag per tail row
     tail_commit: Tuple[bool, ...] = ()          # commit/anchor flag per tail row
     tail_step_index: Tuple[int, ...] = ()       # reference `step` for correcting_xt
@@ -264,12 +292,9 @@ def build_singlestep_plan(
             ns, steps=steps, order=order, skip_type=skip_type, t_T=t_T, t_0=t_0
         )
 
-    tail: List[Tuple] = []
-    tail_eval: List[bool] = []
-    tail_commit: List[bool] = []
-    tail_step: List[int] = []
-    nfe = 0
-    for seg, seg_order in enumerate(orders):
+    def segment_micro_rows(seg):
+        """All micro-op rows for one segment, with eval/commit flags."""
+        seg_order = orders[seg]
         s, t = timesteps_outer[seg], timesteps_outer[seg + 1]
         # r1/r2 from the *inner* grid of the segment (ref :1221-1227); for
         # logSNR spacing these are exactly 1/3, 2/3 (resp. 1/2).
@@ -279,25 +304,67 @@ def build_singlestep_plan(
         r1 = None if seg_order <= 1 else float((lam_inner[1] - lam_inner[0]) / h)
         r2 = None if seg_order <= 2 else float((lam_inner[2] - lam_inner[0]) / h)
         # fresh model eval at the segment start: identity row with eval
-        tail.append((s, 1.0, (0.0, 0.0, 0.0), 0.0))
-        tail_eval.append(True)
-        tail_commit.append(False)
-        tail_step.append(seg)
-        nfe += 1
-        seg_rows = U.singlestep_segment_rows(
-            ns, float(s), float(t), seg_order, r1=r1, r2=r2,
-            algorithm_type=algorithm_type, solver_type=solver_type, lib=np,
-        )
-        for t_next, a, b, eval_after in seg_rows:
-            tail.append((t_next, a, b, 0.0))
-            tail_eval.append(eval_after)
-            tail_commit.append(not eval_after)  # only the segment-final row commits
-            tail_step.append(seg)
-            nfe += 1 if eval_after else 0
+        rows = [(s, 1.0, (0.0, 0.0, 0.0), 0.0)]
+        evals, commits = [True], [False]
+        for t_next, a, b, eval_after in U.singlestep_segment_rows(
+                ns, float(s), float(t), seg_order, r1=r1, r2=r2,
+                algorithm_type=algorithm_type, solver_type=solver_type, lib=np):
+            rows.append((t_next, a, b, 0.0))
+            evals.append(eval_after)
+            commits.append(not eval_after)  # only the segment-final row commits
+        return rows, evals, commits
+
+    # group consecutive same-order segments (`to_sparse_list` semantics,
+    # ref dpm_solver_jax.py:1181-1197): runs of >= MIN_SCAN segments compile
+    # to one lax.scan; the remainder stays unrolled. Once a group is
+    # unrolled every later group is too — the executor runs all seg_scans
+    # before the tail, so scanned groups must form a prefix.
+    MIN_SCAN = 2
+    groups: List[Tuple[int, int]] = []          # (order, count)
+    for seg_order in orders:
+        if groups and groups[-1][0] == seg_order:
+            groups[-1] = (seg_order, groups[-1][1] + 1)
+        else:
+            groups.append((seg_order, 1))
+
+    seg_scans: List[SegScan] = []
+    tail: List[Tuple] = []
+    tail_eval: List[bool] = []
+    tail_commit: List[bool] = []
+    tail_step: List[int] = []
+    nfe = 0
+    seg = 0
+    scanning = True
+    for g_order, g_count in groups:
+        scanning = scanning and g_count >= MIN_SCAN
+        if scanning:
+            flat, evals, commits = [], None, None
+            for k in range(g_count):
+                rows, evals, commits = segment_micro_rows(seg + k)
+                flat.extend(rows)
+                nfe += sum(evals)
+            R = len(evals)
+            rows2d = jax.tree.map(
+                lambda x: x.reshape((g_count, R) + x.shape[1:]),
+                PlanRows.from_lists(flat, ns, dtype))
+            seg_scans.append(SegScan(
+                rows=rows2d, eval_after=tuple(evals), commit=tuple(commits),
+                step_index=np.arange(seg, seg + g_count, dtype=np.int32)))
+        else:
+            for k in range(g_count):
+                rows, evals, commits = segment_micro_rows(seg + k)
+                tail.extend(rows)
+                tail_eval.extend(evals)
+                tail_commit.extend(commits)
+                tail_step.extend([seg + k] * len(rows))
+                nfe += sum(evals)
+        seg += g_count
 
     plan = _finalize_tail_plan(
         ns, t_first=None, tail=tail, tail_eval=tail_eval, tail_commit=tail_commit,
-        tail_step=tail_step, nfe=nfe, denoise_final=denoise_to_zero, t_0=t_0, dtype=dtype,
+        tail_step=tail_step, nfe=nfe, denoise_final=denoise_to_zero, t_0=t_0,
+        dtype=dtype, seg_scans=tuple(seg_scans),
+        last_step_index=len(orders) - 1,
     )
     return plan
 
@@ -334,8 +401,9 @@ def _assemble_uniform_plan(ns, t_first, rows, *, denoise_final, t_0, has_noise, 
 
 
 def _finalize_tail_plan(ns, *, t_first, tail, tail_eval, tail_commit, tail_step,
-                        nfe, denoise_final, t_0, dtype):
-    if not tail:
+                        nfe, denoise_final, t_0, dtype, seg_scans=(),
+                        last_step_index=None):
+    if not tail and not seg_scans:
         # zero segments (e.g. singlestep_fixed with steps < order): the
         # reference runs an empty loop and returns x unchanged
         return SamplePlan(
@@ -344,17 +412,20 @@ def _finalize_tail_plan(ns, *, t_first, tail, tail_eval, tail_commit, tail_step,
             initial_correct_record=False,
             **_denoise_fields(ns, denoise_final, t_0, -1),
         )
+    if last_step_index is None:
+        last_step_index = tail_step[-1]
     return SamplePlan(
         t_first=float("nan") if t_first is None else float(t_first),
         alpha_first=1.0,
         sigma_first=0.0,
         scan_rows=None,
-        tail_rows=PlanRows.from_lists(tail, ns, dtype),
+        seg_scans=tuple(seg_scans),
+        tail_rows=PlanRows.from_lists(tail, ns, dtype) if tail else None,
         tail_eval=tuple(tail_eval),
         tail_commit=tuple(tail_commit),
         tail_step_index=tuple(tail_step),
         has_noise=False,
         n_nfe=nfe,
         initial_correct_record=False,
-        **_denoise_fields(ns, denoise_final, t_0, tail_step[-1]),
+        **_denoise_fields(ns, denoise_final, t_0, last_step_index),
     )

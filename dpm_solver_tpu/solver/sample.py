@@ -146,6 +146,36 @@ def execute_plan(
         if return_intermediate:
             intermediates.extend(ys[i] for i in range(n))
 
+    # --- scanned singlestep segment groups (same-order runs) ---
+    # Each SegScan compiles to one lax.scan whose body executes the R static
+    # micro-ops of a segment; history is segment-local (all singlestep
+    # updates anchor at the segment start) so the carry is just x.
+    for gs in plan.seg_scans:
+        rows = gs.rows
+        R = len(gs.eval_after)
+
+        def seg_body(x, inp, _R=R, _gs=gs):
+            row, step = inp
+            hist = jnp.zeros((3,) + x.shape, x.dtype)
+            y = x
+            for k in range(_R):
+                y = _combine(row.a[k], row.b[k], row.s_noise[k], x, hist,
+                             None, use_pallas)
+                if _gs.commit[k]:
+                    if correcting_xt_fn is not None:
+                        y = correcting_xt_fn(y, row.t_next[k], step)
+                    x = y
+                if _gs.eval_after[k]:
+                    m = eval_fn(y, row.t_next[k], row.alpha_next[k],
+                                row.sigma_next[k])
+                    hist = _push_hist(hist, m)
+            out = x if return_intermediate else jnp.zeros((), x.dtype)
+            return x, out
+
+        x, ys = jax.lax.scan(seg_body, x, (rows, jnp.asarray(gs.step_index)))
+        if return_intermediate:
+            intermediates.extend(ys[i] for i in range(gs.n_seg))
+
     # --- unrolled tail: heterogeneous micro-ops ---
     if plan.tail_rows is not None:
         rows = plan.tail_rows
