@@ -62,9 +62,12 @@ def fused_solver_update(a, b, s_noise, x, hist, z=None, *, interpret=False):
          jnp.reshape(0.0 if s_noise is None else s_noise, (1,))]
     ).astype(dtype)
 
-    block = _BLOCK_ROWS * _LANES
-    n_pad = -n % block
-    flat = lambda v: jnp.pad(v.reshape(-1), (0, n_pad)).reshape(-1, _LANES)
+    # pad only to the 128-lane boundary (<= 127 elements); the ragged tail
+    # at the BLOCK level is handled in-kernel by Pallas's edge-block
+    # masking, so no full-block host-side pad/copy is ever materialized
+    n_pad = -n % _LANES
+    flat = (lambda v: jnp.pad(v.reshape(-1), (0, n_pad)).reshape(-1, _LANES)
+            ) if n_pad else (lambda v: v.reshape(-1, _LANES))
     xs = [flat(x), flat(hist[0]), flat(hist[1]), flat(hist[2])]
     kernel = _kernel_ode
     if z is not None:
@@ -72,7 +75,7 @@ def fused_solver_update(a, b, s_noise, x, hist, z=None, *, interpret=False):
         kernel = _kernel_noise
 
     rows = xs[0].shape[0]
-    grid = (rows // _BLOCK_ROWS,)
+    grid = (pl.cdiv(rows, _BLOCK_ROWS),)
     # index_map receives the scalar-prefetch ref as a trailing argument
     spec = pl.BlockSpec(
         (_BLOCK_ROWS, _LANES), lambda i, _coefs: (i, 0), memory_space=pltpu.VMEM
