@@ -124,6 +124,21 @@ def bench_per_step_driver(raw_model, ns, x_T):
     return time_fn(run, x_T)
 
 
+def model_eval_flops(raw_model, x_T):
+    """XLA cost-analysis flops of ONE model evaluation (cost analysis counts
+    a scan body once, so per-trajectory flops = this x NFE; CLAUDE.md
+    roofline discipline)."""
+    try:
+        c = jax.jit(raw_model).lower(x_T, jnp.zeros((x_T.shape[0],))).compile()
+        ca = c.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca.get("flops", 0.0))
+    except Exception as e:  # noqa: BLE001
+        print(f"# cost analysis unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return 0.0
+
+
 def main():
     from dpm_solver_tpu import NoiseScheduleVP
 
@@ -146,13 +161,20 @@ def main():
 
     ours = BATCH / t_ours
     base = BATCH / t_base
-    print(f"# ours: {ours:.1f} samples/s ({t_ours*1e3:.1f} ms/batch of {BATCH}); "
-          f"baseline[{baseline}]: {base:.1f} samples/s", file=sys.stderr)
+    flops = STEPS * model_eval_flops(raw_model, x_T)
+    peak = None if jax.devices()[0].platform == "cpu" else 197e12  # v5e bf16
+    tfs = flops / t_ours / 1e12
+    print(f"# ours: {ours:.1f} samples/s ({t_ours*1e3:.1f} ms/batch of {BATCH}, "
+          f"{tfs:.1f} TF/s); baseline[{baseline}]: {base:.1f} samples/s",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "cifar10_ddpm_unet_10nfe_samples_per_sec_per_chip",
         "value": round(ours, 2),
         "unit": "samples/s",
         "vs_baseline": round(ours / base, 3),
+        "flops_per_batch": flops,
+        "implied_tflops": round(tfs, 2),
+        "mfu": round(flops / t_ours / peak, 4) if peak else None,
     }))
 
 

@@ -115,8 +115,21 @@ def main():
         print(f"# baseline failed: {type(e).__name__}: {e}", file=sys.stderr)
         t_base, baseline = float("nan"), "none"
 
+    # roofline fields (CLAUDE.md): one-eval flops x NFE; cost analysis
+    # counts a scan body once so the per-trajectory count must be assembled
+    try:
+        c = jax.jit(raw).lower(x_T, jnp.ones(())).compile()
+        ca = c.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = args.steps * float(ca.get("flops", 0.0))
+    except Exception as e:  # noqa: BLE001
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+        flops = 0.0
+    peak = None if jax.devices()[0].platform == "cpu" else 197e12  # v5e bf16
+    tfs = flops / t_ours / 1e12
+
     sps = args.batch / t_ours
-    print(f"# ours {sps:.1f} samples/s; baseline[{baseline}] "
+    print(f"# ours {sps:.1f} samples/s ({tfs:.1f} TF/s); baseline[{baseline}] "
           f"{args.batch/t_base:.1f} samples/s", file=sys.stderr)
     print(json.dumps({
         "metric": "score_sde_ncsnpp_10nfe_singlestep3_samples_per_sec_per_chip",
@@ -126,6 +139,9 @@ def main():
         "batch": args.batch,
         "deep": args.deep,
         "dtype": args.dtype,
+        "flops_per_batch": flops,
+        "implied_tflops": round(tfs, 2),
+        "mfu": round(flops / t_ours / peak, 4) if peak else None,
     }))
 
 

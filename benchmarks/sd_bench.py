@@ -7,13 +7,21 @@ random weights (throughput is weight-independent) at the given batch size.
 
 The BASELINE target is >=2x diffusers samples/sec/chip for SD-2.1 @ 20
 NFE on v5e-8. diffusers is not installed in this image, so the in-repo
-comparison is the reference-style per-step driver (one jitted UNet+update
-dispatch per NFE — how torch/diffusers execute); the absolute
-samples/s/chip number is recorded for the external comparison.
+A/B (`vs_baseline`) is a reference-style per-step driver over the SAME
+UNet/VAE: one jitted UNet-eval+solver-update program dispatched once per
+NFE, plus a separate jitted VAE decode — how torch/diffusers execute a
+sampling loop (scheduler step per launch, no cross-step compilation).
+Dispatches are enqueued asynchronously with a single terminal sync, so the
+baseline is not penalized for tunnel round-trips. The absolute
+samples/s/chip number is recorded for the external diffusers comparison.
+
+Both numbers carry roofline fields (CLAUDE.md discipline): `flops` is the
+XLA cost-analysis count of the per-step program x NFE (+ VAE), and
+`mfu` = flops / wall / 197 TF/s (v5e bf16 peak).
 
 Run on a TPU host: python benchmarks/sd_bench.py [--batch 4] [--steps 20]
-(~10-20 min: two big XLA compiles dominate; add --latent 32 for a quick
-structural smoke run on CPU.)
+(~10-20 min: the big XLA compiles dominate; add --latent 32 --tiny --cpu
+for a quick structural smoke run.)
 """
 
 import argparse
@@ -131,16 +139,105 @@ def main():
     sync(out)
     dt = (time.perf_counter() - t0) / args.reps
 
+    # ---- reference-style per-step driver over the SAME UNet/VAE ----------
+    # One jitted program per NFE (UNet CFG eval + DPM-Solver++(2M) update),
+    # dispatched from a Python loop — the execution shape of the torch
+    # reference (dpm_solver_pytorch.py:1171-1213 drives one model call per
+    # step) and of diffusers schedulers. AOT-compiled so the loop pays
+    # dispatch, not tracing.
+    from dpm_solver_tpu.solver.plan import build_multistep_plan
+
+    plan = build_multistep_plan(ns, args.steps, 2, skip_type="time_uniform")
+    r = plan.scan_rows
+    rows_dev = [jnp.asarray([float(r.a[i]), float(r.b[i][0]),
+                             float(r.b[i][1]), float(r.t_next[i]),
+                             float(r.alpha_next[i]), float(r.sigma_next[i])],
+                            jnp.float32) for i in range(r.n_ops)]
+    tr = plan.tail_rows
+    tail_dev = jnp.asarray([float(tr.a[0]), float(tr.b[0][0]),
+                            float(tr.b[0][1]), 0.0, 0.0, 0.0], jnp.float32)
+    row0 = jnp.asarray([1.0, 0.0, 0.0, plan.t_first, plan.alpha_first,
+                        plan.sigma_first], jnp.float32)
+
+    def make_model_fn(p):
+        return model_wrapper(
+            lambda x, t, c: unet.apply(p, x, t, None, c, deterministic=True),
+            ns, model_type="v", guidance_type="classifier-free",
+            condition=cond, unconditional_condition=uncond,
+            guidance_scale=args.scale)
+
+    def step_impl(p, x, h0, h1, row):
+        x_new = row[0] * x + row[1] * h0 + row[2] * h1
+        eps = make_model_fn(p)(x_new, row[3])
+        x0 = (x_new - row[5] * eps) / row[4]     # ++ combines x0 predictions
+        return x_new, x0
+
+    zz = jnp.zeros_like(x_T)
+    jstep = jax.jit(step_impl).lower(params, x_T, zz, zz, row0).compile()
+    jcombine = jax.jit(
+        lambda x, h0, h1, row: row[0] * x + row[1] * h0 + row[2] * h1
+    ).lower(x_T, zz, zz, tail_dev).compile()
+    if not args.skip_vae:
+        jdecode = jax.jit(
+            lambda vp, z: vae.apply(vp, z / 0.18215,
+                                    method=AutoencoderKL.decode)
+        ).lower(vae_params, x_T).compile()
+
+    def cost_flops(compiled):
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        try:
+            return float(ca.get("flops", 0.0))
+        except Exception:  # noqa: BLE001 — backend without cost analysis
+            return 0.0
+
+    def baseline_pipe(x):
+        h0 = h1 = zz
+        _, h0 = jstep(params, x, h0, h1, row0)
+        for rr in rows_dev:
+            x, m = jstep(params, x, h0, h1, rr)
+            h0, h1 = m, h0
+        x = jcombine(x, h0, h1, tail_dev)
+        if not args.skip_vae:
+            x = jdecode(vae_params, x)
+        return x
+
+    t0 = time.perf_counter()
+    sync(baseline_pipe(x_T))
+    print(f"# baseline compile+warm: {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(args.reps):
+        out = baseline_pipe(x_T)
+    sync(out)
+    dt_base = (time.perf_counter() - t0) / args.reps
+
+    # roofline accounting: XLA cost analysis counts a scan body once, so
+    # total flops = per-step program x NFE (same arithmetic in both drivers)
+    flops = args.steps * cost_flops(jstep) + cost_flops(jcombine)
+    if not args.skip_vae:
+        flops += cost_flops(jdecode)
+    plat = jax.devices()[0].platform
+    peak = None if plat == "cpu" else 197e12  # v5e bf16
     sps = args.batch / dt
-    print(f"# {dt*1e3:.0f} ms/batch of {args.batch} "
-          f"({dt*1e3/args.batch:.0f} ms/image)", file=sys.stderr)
+    tfs = flops / dt / 1e12
+    print(f"# ours {dt*1e3:.0f} ms/batch ({dt*1e3/args.batch:.0f} ms/image, "
+          f"{tfs:.1f} TF/s) | per-step baseline {dt_base*1e3:.0f} ms/batch "
+          f"({flops/dt_base/1e12:.1f} TF/s)", file=sys.stderr)
     print(json.dumps({
         "metric": f"sd21_{args.steps}nfe_cfg_samples_per_sec_per_chip",
         "value": round(sps, 3),
         "unit": "samples/s",
+        "vs_baseline": round(dt_base / dt, 3),
+        "baseline": "per_step_driver_same_nets",
+        "baseline_samples_per_sec": round(args.batch / dt_base, 3),
         "batch": args.batch,
         "latent": args.latent,
         "vae_decode": not args.skip_vae,
+        "flops_per_batch": flops,
+        "implied_tflops": round(tfs, 2),
+        "mfu": round(flops / dt / peak, 4) if peak else None,
     }))
 
 
