@@ -253,11 +253,109 @@ def lsun_dataset(root: str, *, resolution: int, batch_size: int,
     return ds.batch(batch_size, drop_remainder=True).prefetch(tf.data.AUTOTUNE)
 
 
+# --------------------------------------------------------------------------- #
+# dataset-specific geometry twins
+#
+# FID comparability against published numbers depends on EXACT crop/resize
+# semantics, so each reference dataset's preprocessing is reproduced
+# operation-for-operation (not through the generic center-square path).
+# All functions map a uint8 HWC tensor -> float32 [0, 1] at `resolution`.
+# --------------------------------------------------------------------------- #
+
+# the ddpm example's CelebA window: 128x128 centered at (cx=89, cy=121) on
+# the 178x218 aligned images -> rows [57, 185), cols [25, 153)
+# (ddpm_and_guided-diffusion/datasets/__init__.py:60-66 with Crop at :14-27)
+CELEBA_DDPM_WINDOW = (57, 185, 25, 153)
+
+
+def celeba_ddpm_transform(img, resolution):
+    """ddpm-example CelebA: fixed 128x128 crop + torchvision Resize
+    (bilinear antialias) + ToTensor (datasets/__init__.py:60-92)."""
+    import tensorflow as tf
+
+    r0, r1, c0, c1 = CELEBA_DDPM_WINDOW
+    img = img[r0:r1, c0:c1, :]
+    img = tf.image.resize(tf.cast(img, tf.float32),
+                          (resolution, resolution), method="bilinear",
+                          antialias=True)
+    return tf.clip_by_value(img / 255.0, 0.0, 1.0)
+
+
+def _central_crop_tf(img, size):
+    """(score_sde_jax/datasets.py:63-67; dynamic-shape safe)"""
+    import tensorflow as tf
+
+    shape = tf.shape(img)
+    top = (shape[0] - size) // 2
+    left = (shape[1] - size) // 2
+    return img[top:top + size, left:left + size, :]
+
+
+def _resize_small_tf(img, resolution):
+    """Shrink so the SHORT side equals `resolution`, preserving aspect
+    (score_sde_jax/datasets.py:54-60; bilinear antialias)."""
+    import tensorflow as tf
+
+    shape = tf.shape(img)
+    hw = tf.cast(shape[:2], tf.float32)
+    ratio = float(resolution) / tf.reduce_min(hw)
+    new_hw = tf.cast(tf.round(hw * ratio), tf.int32)
+    return tf.image.resize(img, new_hw, antialias=True)
+
+
+def celeba_scoresde_transform(img, resolution):
+    """score_sde CelebA: to-float -> central_crop(140) -> resize_small
+    (score_sde_jax/datasets.py:126-129). Crop FIRST, then shrink."""
+    import tensorflow as tf
+
+    img = tf.image.convert_image_dtype(img, tf.float32)
+    return _resize_small_tf(_central_crop_tf(img, 140), resolution)
+
+
+def crop_resize_tf(img, resolution):
+    """Center-square crop then BICUBIC antialias resize, cast back to uint8
+    BEFORE the float conversion (score_sde_jax/datasets.py:40-52 — the
+    uint8 round-trip is part of the reference semantics)."""
+    import tensorflow as tf
+
+    shape = tf.shape(img)
+    h, w = shape[0], shape[1]
+    crop = tf.minimum(h, w)
+    img = img[(h - crop) // 2:(h + crop) // 2,
+              (w - crop) // 2:(w + crop) // 2]
+    img = tf.image.resize(img, (resolution, resolution),
+                          method="bicubic", antialias=True)
+    return tf.cast(img, tf.uint8)
+
+
+def lsun_scoresde_transform(img, resolution):
+    """score_sde LSUN: at 128px shrink-then-center-crop, otherwise
+    crop_resize (score_sde_jax/datasets.py:136-149)."""
+    import tensorflow as tf
+
+    if resolution == 128:
+        img = tf.image.convert_image_dtype(img, tf.float32)
+        img = _resize_small_tf(img, resolution)
+        return _central_crop_tf(img, resolution)
+    img = crop_resize_tf(img, resolution)
+    return tf.image.convert_image_dtype(img, tf.float32)
+
+
+DATASET_TRANSFORMS = {
+    "celeba_ddpm": celeba_ddpm_transform,
+    "celeba_scoresde": celeba_scoresde_transform,
+    "lsun_scoresde": lsun_scoresde_transform,
+}
+
+
 def image_folder_dataset(path: str, *, resolution: int, batch_size: int,
                          centered: bool = False, random_flip: bool = True,
-                         shuffle: bool = True, repeat: bool = True, seed: int = 0):
-    """PNG/JPEG folder -> tf.data pipeline with bicubic central-crop resize
-    (ref datasets.py crop_resize / FFHQ handling)."""
+                         shuffle: bool = True, repeat: bool = True,
+                         seed: int = 0, transform: Optional[str] = None):
+    """PNG/JPEG folder -> tf.data pipeline. `transform` selects a
+    dataset-specific geometry twin from DATASET_TRANSFORMS (exact reference
+    crop/resize semantics); default is the generic bicubic central-crop
+    resize (ref datasets.py crop_resize / FFHQ handling)."""
     import tensorflow as tf
 
     tf.config.experimental.set_visible_devices([], "GPU")
@@ -271,16 +369,23 @@ def image_folder_dataset(path: str, *, resolution: int, batch_size: int,
         ds = ds.repeat()
     if shuffle:
         ds = ds.shuffle(min(len(files), 10_000), seed=seed)
+    tf_fn = DATASET_TRANSFORMS.get(transform) if transform else None
+    if transform and tf_fn is None:
+        raise ValueError(f"unknown transform {transform!r}; "
+                         f"have {sorted(DATASET_TRANSFORMS)}")
 
     def load(fname):
         img = tf.image.decode_image(tf.io.read_file(fname), channels=3,
                                     expand_animations=False)
-        shape = tf.shape(img)
-        side = tf.minimum(shape[0], shape[1])
-        img = tf.image.resize_with_crop_or_pad(img, side, side)
-        img = tf.image.resize(img, (resolution, resolution),
-                              method="bicubic", antialias=True)
-        img = tf.clip_by_value(tf.cast(img, tf.float32) / 255.0, 0.0, 1.0)
+        if tf_fn is not None:
+            img = tf.clip_by_value(tf_fn(img, resolution), 0.0, 1.0)
+        else:
+            shape = tf.shape(img)
+            side = tf.minimum(shape[0], shape[1])
+            img = tf.image.resize_with_crop_or_pad(img, side, side)
+            img = tf.image.resize(img, (resolution, resolution),
+                                  method="bicubic", antialias=True)
+            img = tf.clip_by_value(tf.cast(img, tf.float32) / 255.0, 0.0, 1.0)
         if random_flip:
             img = tf.image.random_flip_left_right(img)
         if centered:
