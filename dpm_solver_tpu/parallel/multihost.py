@@ -49,3 +49,46 @@ def host_subset(items, *, host_id: int | None = None, n_hosts: int | None = None
     h = jax.process_index() if host_id is None else host_id
     n = jax.process_count() if n_hosts is None else n_hosts
     return [x for i, x in enumerate(items) if i % n == h]
+
+
+def _smoke_worker(process_id: int, num_processes: int, port: int) -> None:
+    """One process of the multi-host smoke: real `jax.distributed` over CPU
+    (4 local virtual devices per process), exercising every helper above
+    plus a cross-host collective on a global sharded array. Launched by
+    `__graft_entry__.dryrun_multihost`; prints MULTIHOST_OK on success."""
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=num_processes, process_id=process_id)
+    assert jax.process_count() == num_processes
+    n_local = jax.local_device_count()
+    assert jax.device_count() == num_processes * n_local
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, PartitionSpec("data"))
+
+    # global array assembled from per-host shards; jit reduction over it is
+    # a real cross-host collective (GSPMD inserts the all-reduce)
+    local = np.full((n_local, 2), float(jax.process_index()), np.float32)
+    garr = jax.make_array_from_process_local_data(sh, local)
+    total = float(jax.jit(jnp.sum)(garr))
+    expect = sum(2.0 * n_local * p for p in range(num_processes))
+    assert total == expect, (total, expect)
+
+    # per-host rng folding: every host's stream must differ, and
+    # allgather_metrics must deliver all of them everywhere
+    key = host_fold(jax.random.key(0))
+    rows = allgather_metrics(np.asarray(jax.random.key_data(key)))
+    assert rows.shape[0] == num_processes
+    assert len({tuple(np.asarray(r).ravel()) for r in rows}) == num_processes
+
+    # work-list sharding: subsets partition the list exactly
+    sub = host_subset(list(range(10)))
+    counts = allgather_metrics(np.asarray([len(sub)], np.int64))
+    assert int(np.sum(counts)) == 10
+
+    barrier("multihost-smoke")
+    print(f"MULTIHOST_OK {process_id}", flush=True)
