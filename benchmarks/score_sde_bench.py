@@ -118,7 +118,7 @@ def main():
     # roofline fields (CLAUDE.md): one-eval flops x NFE; cost analysis
     # counts a scan body once so the per-trajectory count must be assembled
     try:
-        c = jax.jit(raw).lower(x_T, jnp.ones(())).compile()
+        c = jax.jit(raw).lower(x_T, jnp.ones((args.batch,))).compile()
         ca = c.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         flops = args.steps * float(ca.get("flops", 0.0))

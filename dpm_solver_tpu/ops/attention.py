@@ -15,9 +15,10 @@ rescaling and O(block_q * block_k) VMEM — it carries SD-2.1@768px's
 9216-token self-attention at ~52 TF/s (1.9x the XLA lowering on v5e).
 Short sequences (S < 1024) measured faster on plain XLA and stay there.
 
-Differentiable: the backward recomputes through the XLA composition (the
-solver's sampling path never differentiates attention; training does, at
-standard XLA speed).
+Differentiable: the backward is a recompute-free FlashAttention-2-style
+pair of Pallas kernels (dq streamed over key blocks; dk/dv streamed over
+query blocks) fed by the forward's saved output and per-row log-sum-exp —
+no (T, T) tensor and no forward recompute in the training path either.
 """
 
 from __future__ import annotations
@@ -86,6 +87,181 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_real: int):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+# --------------------------------------------------------------------------- #
+# backward (FlashAttention-2-style recompute-free dq / dk / dv)
+#
+# Residuals are (q, k, v, o, lse) with lse = m + log(sum exp) per query row,
+# emitted by an lse-returning forward pass. delta = rowsum(dO * O) is plain
+# elementwise work computed outside the kernels. Two kernels:
+#   dq:    grid (BH, nq, nk) — stream K/V blocks per query block
+#   dk/dv: grid (BH, nk, nq) — stream Q/dO blocks per key block
+# p is rebuilt from logits - lse (no softmax renormalization needed), so no
+# forward recompute of the full attention and no (T, T) HBM tensor.
+# --------------------------------------------------------------------------- #
+
+
+def _lse_kernel(q_ref, k_ref, o_ref, *, scale: float, t_real: int):
+    """Per-row log-sum-exp of the masked logits (full-panel regime)."""
+    logits = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if k_ref.shape[1] != t_real:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(key_ids < t_real, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1)
+    l = jnp.sum(jnp.exp(logits - m[:, None]), axis=-1)
+    o_ref[0] = m + jnp.log(l)
+
+
+def _lse(q, k, scale, block_q, interpret):
+    """(BH, T) log-sum-exp rows (full-panel regime; pads internally)."""
+    bh, t, d = q.shape
+    s = k.shape[1]
+    t_pad = -t % block_q
+    s_pad = -s % block_q
+    if t_pad:
+        q = jnp.pad(q, ((0, 0), (0, t_pad), (0, 0)))
+    if s_pad:
+        k = jnp.pad(k, ((0, 0), (0, s_pad), (0, 0)))
+    tq, ts = t + t_pad, s + s_pad
+    out = pl.pallas_call(
+        functools.partial(_lse_kernel, scale=scale, t_real=s),
+        grid=(bh, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, tq), jnp.float32),
+        interpret=interpret,
+    )(q, k)
+    return out[:, :t]
+
+
+def _bwd_p_ds(q, k, v, do, lse, delta, scale, s_real, base_k, block_k):
+    """Shared (p, ds) rebuild for both backward kernels (f32 tiles)."""
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if s_real is not None:
+        ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + base_k
+        logits = jnp.where(ids < s_real, logits, -jnp.inf)
+    p = jnp.exp(logits - lse[:, None])
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None]) * scale
+    return p, ds
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               acc_ref, *, scale: float, s_real, block_k: int, nk: int):
+    kidx = pl.program_id(2)
+
+    @pl.when(kidx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    _, ds = _bwd_p_ds(q_ref[0], k_ref[0], v_ref[0], do_ref[0], lse_ref[0],
+                      delta_ref[0], scale, s_real, kidx * block_k, block_k)
+    acc_ref[...] += jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kidx == nk - 1)
+    def _finish():
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *,
+                scale: float, s_real, block_k: int, nq: int):
+    qidx = pl.program_id(2)
+    kidx = pl.program_id(1)
+
+    @pl.when(qidx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    p, ds = _bwd_p_ds(q, k_ref[0], v_ref[0], do, lse_ref[0], delta_ref[0],
+                      scale, s_real, kidx * block_k, block_k)
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(qidx == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _mha_backward(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
+    """Flash-style dq/dk/dv. q/o/g: (BH, T, D); k/v: (BH, S, D);
+    lse: (BH, T) over the REAL keys (padded keys were masked at forward)."""
+    bh, t, d = q.shape
+    s = k.shape[1]
+    t_pad = -t % block_q
+    s_pad = -s % block_k
+    pad_t = lambda u: jnp.pad(u, ((0, 0), (0, t_pad), (0, 0))) if t_pad else u
+    pad_s = lambda u: jnp.pad(u, ((0, 0), (0, s_pad), (0, 0))) if s_pad else u
+    qp, op, gp = pad_t(q), pad_t(o), pad_t(g)
+    kp, vp = pad_s(k), pad_s(v)
+    tq, ts = t + t_pad, s + s_pad
+    nq, nk = tq // block_q, ts // block_k
+    # delta = rowsum(dO * O); zero on padded query rows, so padded queries
+    # contribute nothing to dk/dv (p * 0 - 0) and their dq rows are sliced
+    delta = jnp.pad(jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                            axis=-1), ((0, 0), (0, t_pad)))
+    lse_p = jnp.pad(lse, ((0, 0), (0, t_pad)))
+    s_real = s if s_pad else None
+
+    spec_t = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                          memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec((1, block_q), lambda b, i, j: (b, i),
+                            memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, s_real=s_real,
+                          block_k=block_k, nk=nk),
+        grid=(bh, nq, nk),
+        in_specs=[spec_t, spec_s, spec_s, spec_t, spec_row, spec_row],
+        out_specs=spec_t,
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse_p, delta)
+
+    # dk/dv: swap the roles — keys on the outer grid dim, queries streamed
+    spec_t2 = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    spec_s2 = pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
+                           memory_space=pltpu.VMEM)
+    spec_row2 = pl.BlockSpec((1, block_q), lambda b, j, i: (b, i),
+                             memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, s_real=s_real,
+                          block_k=block_k, nq=nq),
+        grid=(bh, nk, nq),
+        in_specs=[spec_t2, spec_s2, spec_s2, spec_t2, spec_row2, spec_row2],
+        out_specs=[spec_s2, spec_s2],
+        out_shape=[jax.ShapeDtypeStruct((bh, ts, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, ts, d), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse_p, delta)
+    return dq[:, :t], dk[:, :s], dv[:, :s]
+
+
 def _forward(q, k, v, scale, block_q, interpret):
     bh, t, d = q.shape
     s = k.shape[1]
@@ -120,11 +296,17 @@ def _forward(q, k, v, scale, block_q, interpret):
 _BLOCK_K = 1024
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
                   scale: float, s_real: int, block_k: int, nk: int):
     """Streaming (blocked-K) attention step: running max/sum rescaling keeps
     VMEM use constant in S. Scratch m/l/acc persist across the (sequential)
-    k grid dimension; out is written on the last k block."""
+    k grid dimension; out is written on the last k block. With a second
+    output ref present (grad path) the per-row log-sum-exp is emitted too."""
+    if len(rest) == 4:
+        lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
+        lse_ref = None
     kidx = pl.program_id(2)
 
     @pl.when(kidx == 0)
@@ -158,9 +340,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     @pl.when(kidx == nk - 1)
     def _finish():
         o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
 
 
-def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
+def _flash_forward(q, k, v, scale, block_q, block_k, interpret,
+                   with_lse=False):
     bh, t, d = q.shape
     s = k.shape[1]
     t_pad = -t % block_q
@@ -173,6 +358,13 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
     tq, ts = t + t_pad, s + s_pad
     nk = ts // block_k
 
+    spec_o = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs, out_shape = spec_o, jax.ShapeDtypeStruct((bh, tq, d), q.dtype)
+    if with_lse:
+        out_specs = [spec_o, pl.BlockSpec((1, block_q), lambda b, i, j: (b, i),
+                                          memory_space=pltpu.VMEM)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((bh, tq), jnp.float32)]
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, s_real=s,
                           block_k=block_k, nk=nk),
@@ -185,9 +377,8 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),  # running max
             pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
@@ -195,6 +386,8 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
         ],
         interpret=interpret,
     )(q, k, v)
+    if with_lse:
+        return out[0][:, :t], out[1][:, :t]
     return out[:, :t]
 
 
@@ -211,15 +404,17 @@ def flash_attention(q, k, v, scale: Optional[float] = None,
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
-    return flash_attention(q, k, v, scale, block_q, block_k, interpret), \
-        (q, k, v)
+    eff = (q.shape[-1] ** -0.5) if scale is None else scale
+    o, lse = _flash_forward(q, k, v, eff, block_q, block_k, interpret,
+                            with_lse=True)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
-    f = lambda q_, k_, v_: attention_xla(q_, k_, v_, scale=scale)
-    _, vjp = jax.vjp(f, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    eff = (q.shape[-1] ** -0.5) if scale is None else scale
+    return _mha_backward(q, k, v, o, lse, g, eff, block_q,
+                         min(block_k, 512), interpret)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -238,14 +433,18 @@ def fused_attention(q, k, v, scale: Optional[float] = None,
 
 
 def _fwd(q, k, v, scale, block_q, interpret):
-    return fused_attention(q, k, v, scale, block_q, interpret), (q, k, v)
+    eff = (q.shape[-1] ** -0.5) if scale is None else scale
+    o = _forward(q, k, v, eff, block_q, interpret)
+    lse = _lse(q, k, eff, block_q, interpret)
+    return o, (q, k, v, o, lse)
 
 
 def _bwd(scale, block_q, interpret, res, g):
-    q, k, v = res
-    f = lambda q_, k_, v_: attention_xla(q_, k_, v_, scale=scale)
-    _, vjp = jax.vjp(f, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    eff = (q.shape[-1] ** -0.5) if scale is None else scale
+    s = k.shape[1]
+    block_k = min(_BLOCK_K, s + (-s % _BLOCK_Q))
+    return _mha_backward(q, k, v, o, lse, g, eff, block_q, block_k, interpret)
 
 
 fused_attention.defvjp(_fwd, _bwd)
