@@ -87,6 +87,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from benchmarks._cache import enable_compile_cache
+    enable_compile_cache()
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 

@@ -38,6 +38,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from benchmarks._cache import enable_compile_cache
+    enable_compile_cache()
     from dpm_solver_tpu.ops.fused_update import fused_solver_update
 
     def sync(out):

@@ -81,6 +81,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from benchmarks._cache import enable_compile_cache
+    enable_compile_cache()
     import dataclasses
 
     import jax.numpy as jnp
@@ -93,7 +95,7 @@ def main():
         calculate_fid_given_paths,
         compute_statistics,
     )
-    from dpm_solver_tpu.eval.inception import FIDInceptionV3, make_feature_fn
+    from dpm_solver_tpu.eval.inception import make_feature_fn
     from dpm_solver_tpu.training.checkpoints import CheckpointManager
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="hermetic_fid_")
@@ -133,10 +135,14 @@ def main():
     ckpts = CheckpointManager(os.path.join(workdir, "checkpoints"))
     ckpts.save(args.train_steps, state)
 
-    # ---- inception (fixed random weights; see module docstring) ----
-    inc = FIDInceptionV3()
-    inc_params = jax.jit(inc.init)(jax.random.key(11),
-                                   jnp.zeros((1, side, side, 3)))
+    # ---- inception (fixed random weights; see module docstring).
+    # random_feature_params randomizes the folded BN stats: flax default
+    # init collapses features to near-constants (degenerate FID ~ 1e-7
+    # for everything), randomized stays discriminative (measured 175x
+    # blob-vs-noise separation) ----
+    from dpm_solver_tpu.eval.inception import random_feature_params
+
+    inc_params = random_feature_params(11, input_hw=side)
     feature_fn = make_feature_fn(inc_params)
 
     # reference statistics from the synthetic train set (uint8-quantized so

@@ -218,6 +218,42 @@ def convert_fid_inception(state_dict) -> dict:
     return {"params": tree}
 
 
+def random_feature_params(rng_or_seed=0, *, input_hw: int = 16) -> dict:
+    """Random-weight FIDInceptionV3 params for HERMETIC pipeline validation
+    (zero-egress images have no pt_inception checkpoint; resulting FIDs are
+    pipeline statistics, not comparable to published numbers).
+
+    Flax's default init leaves the folded BatchNorm at identity
+    (mean 0 / var 1 / scale 1 / bias 0); through 94 stacked conv+BN+ReLU
+    layers that collapses features to a near-constant (measured: cross-batch
+    feature std ~5e-5, FID scale ~1e-7). Randomizing every BN statistic and
+    re-drawing fan-in-scaled conv kernels keeps features discriminative
+    (measured: blob-vs-noise FID ratio 175x vs 57x at a 1000x larger
+    absolute scale)."""
+    import jax.random as jr
+
+    seed = rng_or_seed if isinstance(rng_or_seed, int) else 0
+    model = FIDInceptionV3()
+    params = jax.jit(model.init)(
+        jr.key(seed + 1), jnp.zeros((1, input_hw, input_hw, 3)))
+    rng = np.random.default_rng(seed)
+
+    def rnd(path, leaf):
+        name = getattr(path[-1], "key", "")
+        a = np.asarray(leaf)
+        if name == "bn_var":
+            return jnp.asarray(rng.uniform(0.3, 1.7, a.shape), jnp.float32)
+        if name == "bn_scale":
+            return jnp.asarray(rng.normal(1.0, 0.2, a.shape), jnp.float32)
+        if name in ("bn_mean", "bn_bias", "bias"):
+            return jnp.asarray(rng.normal(0.0, 0.2, a.shape), jnp.float32)
+        fan_in = int(np.prod(a.shape[:-1])) if a.ndim > 1 else 1
+        return jnp.asarray(
+            rng.normal(0.0, 1.0 / np.sqrt(fan_in), a.shape), jnp.float32)
+
+    return {"params": jax.tree_util.tree_map_with_path(rnd, params["params"])}
+
+
 def make_feature_fn(params, *, resize_input: bool = True,
                     normalize_input: bool = True, jit: bool = True):
     """Returns `fn(images NHWC in [0,1]) -> (features, logits)`, the

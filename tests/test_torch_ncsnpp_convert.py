@@ -267,7 +267,7 @@ def test_torch_walk_detects_config_mismatch(ref_score_sde):
         reference_tree_from_torch(sd, wrong)
 
 
-def test_ema_shadow_pairing(tmp_path):
+def test_ema_shadow_pairing(tmp_path, ref_score_sde):
     """load_score_sde_torch_checkpoint substitutes shadow_params in
     parameters() order, excluding the sigmas buffer (and fourier W)."""
     import torch
@@ -285,9 +285,10 @@ def test_ema_shadow_pairing(tmp_path):
     # our own model and the inverse walk is untestable -> skip
     if not (REFERENCE_ROOT / "examples" / "score_sde_jax").exists():
         pytest.skip("reference not available")
-    sys.path.insert(0, SCORE_SDE_JAX)
-    import models as ref_models  # noqa: F401
-    from models import ncsnpp as ref_ncsnpp
+    # the ref_score_sde fixture applies the flax.optim shim the old
+    # reference needs; a bare `import models` here was order-dependent
+    # (failed when this test ran first in its worker)
+    ref_ncsnpp = ref_score_sde.ncsnpp
 
     ref_model = ref_ncsnpp.NCSNpp(config=_ref_config(cfg))
     x = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
