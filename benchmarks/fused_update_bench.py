@@ -23,14 +23,14 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import numpy as np
 
-K = 100
+K = 50
 HBM_GBPS = 819.0  # v5e
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--reps", type=int, default=5)
     args = p.parse_args()
 
     import jax
@@ -62,17 +62,48 @@ def main():
         b = jnp.asarray([0.1, -0.2, 0.3], jnp.float32)
         s = jnp.float32(0.05)
 
-        def xla_op(xx):
-            return (a * xx + b[0] * hist[0] + b[1] * hist[1]
-                    + b[2] * hist[2] + s * z)
+        # Harness notes (both earlier attempts were unfair):
+        #  * a scan with loop-invariant hist/z lets XLA hoist b@hist + s*z
+        #    out of the loop (measured an impossible "1185 GB/s");
+        #  * standalone per-dispatch timing through the tunneled backend is
+        #    dominated by ~500us of round-trip latency per op.
+        # So: ONE compiled program, a K-step mini-solver scan whose body is
+        # exactly the real usage — per-step coefficients from scanned rows,
+        # history pushed every step — nothing is loop-invariant and there
+        # is a single dispatch.
+        rows_a = jnp.linspace(0.95, 1.05, K)
+        rows_b = jnp.stack([jnp.linspace(0.1, 0.2, K),
+                            jnp.linspace(-0.2, -0.1, K),
+                            jnp.linspace(0.05, 0.1, K)], axis=1)
+        rows_s = jnp.linspace(0.01, 0.02, K)
 
-        def pallas_op(xx):
-            return fused_solver_update(a, b, s, xx, hist, z)
+        def make_runner(op):
+            def body(carry, row):
+                xx, hist = carry
+                ra, rb, rs = row
+                x2 = op(ra, rb, rs, xx, hist)
+                hist = jnp.concatenate([x2[None], hist[:-1]], axis=0)
+                return (x2, hist), ()
+
+            def run(xx):
+                hist0 = jnp.stack([xx * 0.9, xx * 0.8, xx * 0.7])
+                (xf, _), _ = jax.lax.scan(
+                    body, (xx, hist0), (rows_a, rows_b, rows_s))
+                return xf
+
+            return jax.jit(run)
+
+        def xla_row_op(ra, rb, rs, xx, hist):
+            return (ra * xx + rb[0] * hist[0] + rb[1] * hist[1]
+                    + rb[2] * hist[2] + rs * z)
+
+        def pallas_row_op(ra, rb, rs, xx, hist):
+            return fused_solver_update(ra, rb, rs, xx, hist, z,
+                                       interpret=args.cpu)
 
         out = {}
-        for key, op in [("xla", xla_op), ("pallas", pallas_op)]:
-            jrun = jax.jit(lambda xx, op=op: jax.lax.scan(
-                lambda c, _: (op(c), None), xx, None, length=K)[0])
+        for key, op in [("xla", xla_row_op), ("pallas", pallas_row_op)]:
+            jrun = make_runner(op)
             sync(jrun(x))
             t0 = time.perf_counter()
             o = None
@@ -80,7 +111,9 @@ def main():
                 o = jrun(x)
             sync(o)
             dt = (time.perf_counter() - t0) / args.reps / K
-            nbytes = 7 * x.size * 4  # 6 reads + 1 write
+            # per step: read x + 3 hist + z, write x' (+ the hist shift,
+            # identical work in both paths, excluded from the nominal count)
+            nbytes = 6 * x.size * 4
             out[key] = {"us": round(dt * 1e6, 2),
                         "gbps": round(nbytes / dt / 1e9, 1)}
         out["pallas_vs_xla"] = round(out["xla"]["us"] / out["pallas"]["us"], 3)

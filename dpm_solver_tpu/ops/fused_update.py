@@ -7,10 +7,19 @@ Every DPM-Solver update in this framework is the linear combination
 over identically-shaped HBM-resident tensors (solver/sample.py::_combine).
 This is pure VPU work and strictly HBM-bandwidth bound: the kernel reads each
 operand exactly once and writes the result once, in (8,128)-aligned VMEM
-blocks, so it runs at memory speed-of-light. XLA usually fuses the naive jnp
-expression equally well; the kernel exists to *guarantee* the single-pass
-form (BASELINE.json requires the fused Pallas update) and to serve as the
-fusion anchor when the surrounding program prevents XLA from doing so.
+blocks (ragged tails masked in-kernel — no host-side block pad).
+
+MEASURED VERDICT (benchmarks/fused_update_bench.py, v5e, mini-solver scan
+with per-step coefficients + history pushes, nothing hoistable): XLA's own
+fusion of the naive jnp expression beats this kernel at EVERY real solver
+shape — 2.4x at CIFAR b64 / SD-latent b4 up to 15x at CIFAR b256 — because
+the operands are far too small (0.6-5 MB) to amortize per-invocation kernel
+overhead and the relayout to (rows, 128) around the call, while XLA fuses
+the combine into the adjacent ops in their native layout. `use_pallas`
+therefore defaults to False everywhere; the kernel remains as the
+guaranteed-single-pass fallback for surrounding programs where XLA declines
+to fuse, and as the scalar-prefetch reference pattern (one compiled kernel
+serves every scan step with traced coefficients).
 
 Scalars travel in SMEM via PrefetchScalarGridSpec, hence one compiled kernel
 serves every step of the lax.scan (coefficients are traced values, not

@@ -90,11 +90,11 @@ def execute_plan(
 
     `use_pallas` opts into the fused Pallas update kernel (TPU only; no CPU
     compile path outside interpret mode). Default is the plain jnp
-    expression: measured on v5e (CIFAR UNet, 10 NFE, batch 64) XLA's own
-    fusion of the multiply-add chain is ~3% faster end-to-end than the
-    kernel — the pad/reshape around the kernel costs more than it saves at
-    these operand sizes. The kernel remains the guaranteed-single-pass form
-    for surrounding programs where XLA declines to fuse.
+    expression: the committed A/B (benchmarks/fused_update_bench.py, v5e)
+    shows XLA's own fusion beats the kernel 2.4-15x at every real solver
+    shape — the update operands are far too small to amortize kernel
+    invocation + relayout. The kernel remains the guaranteed-single-pass
+    form for surrounding programs where XLA declines to fuse.
     """
     if plan.has_noise and rng is None:
         raise ValueError("SDE plan requires an rng key")
