@@ -104,6 +104,28 @@ def main():
         print(f"# {name}: {rows[name]}", file=sys.stderr, flush=True)
     attn_mod.token_attention = orig
 
+    # conv-trunk-only twin (no SpatialTransformer blocks): splits the eval
+    # between the conv/resblock trunk and the transformer stack
+    conv_cfg = dataclasses.replace(ucfg, use_spatial_transformer=False,
+                                   attention_resolutions=())
+    conv_unet = ADMUNet(config=conv_cfg, compute_dtype=jnp.bfloat16)
+    conv_params = jax.jit(lambda r: conv_unet.init(
+        r, x[:1], tt[:1], None, None, deterministic=True))(jax.random.key(2))
+
+    def conv_eval(pp, xx):
+        return conv_unet.apply(pp, xx, tt, None, None,
+                               deterministic=True).astype(jnp.float32)
+
+    jconv = jax.jit(lambda pp, xx: jax.lax.scan(
+        lambda c, _: (conv_eval(pp, c), None), xx, None, length=4)[0])
+    cconv = jconv.lower(conv_params, x).compile()
+    dt = timed(lambda xx: cconv(conv_params, xx), x, args.reps) / 4
+    rows["unet_conv_trunk_only"] = {
+        "ms": round(dt * 1e3, 1),
+        "tflops_s": round(cost_compiled(cconv) / dt / 1e12, 1)}
+    print(f"# unet_conv_trunk_only: {rows['unet_conv_trunk_only']}",
+          file=sys.stderr, flush=True)
+
     vae = AutoencoderKL(config=VAEConfig.sd_v1(), dtype=jnp.bfloat16)
     z = x[: args.batch]
     vae_params = jax.jit(lambda r: vae.init(
