@@ -24,6 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # persistent compile cache: repeat runs start in seconds (TPU only)
+    from benchmarks._cache import enable_compile_cache
+
+    enable_compile_cache()
+except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+    pass
+
 BATCH = 64
 STEPS = 10
 REPS = 5

@@ -105,11 +105,18 @@ def main():
         config,
         workdir=workdir,
         # default 0.9999 EMA would still be ~the random init after a few
-        # thousand steps; 0.995 converges within this training budget
-        training=dataclasses.replace(config.training, ema_rate=0.995),
+        # thousand steps (0.995 converges within this budget), and the
+        # tiny_test config checkpoints every 2 steps — at 3000 steps that
+        # is ~1500 orbax saves dominating the wall clock
+        training=dataclasses.replace(
+            config.training, ema_rate=0.995,
+            snapshot_freq=args.train_steps,
+            snapshot_freq_for_preemption=args.train_steps,
+            log_freq=max(1, args.train_steps // 10)),
         eval=dataclasses.replace(
             config.eval, batch_size=args.sample_batch,
             num_samples=args.n_samples,
+            begin_ckpt=1, end_ckpt=args.train_steps,
             fid_stats_path=os.path.join(workdir, "ref_stats.npz"),
             enable_loss=False),
     )
@@ -129,7 +136,29 @@ def main():
     state = run_lib.train(config, data_iter(), workdir=workdir,
                           max_steps=args.train_steps)
     t_train = time.perf_counter() - t0
-    print(f"# trained {args.train_steps} steps in {t_train:.0f}s",
+    # held-out eps-MSE, trained vs fresh init — proves learning happened
+    from dpm_solver_tpu.schedule import NoiseScheduleVP as _NS
+    from dpm_solver_tpu.training.train import make_train_state
+
+    model_d, init_fn_d = run_lib.build_model(config)
+    _ns = _NS.discrete(betas=config.diffusion.betas())
+
+    def heldout_loss(params, seed=123):
+        r = jax.random.PRNGKey(seed)
+        xb = jnp.asarray(train[-256:])
+        tt = jax.random.uniform(jax.random.fold_in(r, 0), (256,),
+                                minval=1.0 / 1000, maxval=1.0)
+        eps = jax.random.normal(jax.random.fold_in(r, 1), xb.shape)
+        al = _ns.marginal_alpha(tt)[:, None, None, None]
+        sg = _ns.marginal_std(tt)[:, None, None, None]
+        xt = al * xb + sg * eps
+        pred = model_d.apply(params, xt, (tt - 1e-3) * 1000.0)
+        return float(jnp.mean((pred - eps) ** 2))
+
+    loss_trained = heldout_loss(state.ema_params)
+    loss_init = heldout_loss(init_fn_d(jax.random.PRNGKey(99)))
+    print(f"# trained {args.train_steps} steps in {t_train:.0f}s; held-out "
+          f"eps-MSE trained={loss_trained:.4f} init={loss_init:.4f}",
           file=sys.stderr, flush=True)
     # make the final state visible to the eval harness as a checkpoint
     ckpts = CheckpointManager(os.path.join(workdir, "checkpoints"))
@@ -162,8 +191,16 @@ def main():
     def sample_with(params, x_T):
         model_fn = model_wrapper(
             lambda x, t: model.apply(params, x, t), ns, model_type="noise")
-        return build_sampler(model_fn, ns, steps=10, order=3,
-                             method="multistep", skip_type="logSNR")(x_T)
+        # clip_denoised: the procedural data has mass exactly at the +-1
+        # clip boundary, so x0 predictions overshoot and low-NFE solvers
+        # amplify it into saturated frames (measured: FID no better than
+        # the untrained control without this). The reference's pixel-space
+        # samplers clip denoised predictions the same way
+        # (guided_diffusion clip_denoised=True; correcting_x0_fn hook).
+        return build_sampler(
+            model_fn, ns, steps=10, order=3, method="multistep",
+            skip_type="logSNR",
+            correcting_x0_fn=lambda x0, t: jnp.clip(x0, -1.0, 1.0))(x_T)
 
     jsample = jax.jit(sample_with)
     png_gen = os.path.join(workdir, "png_gen")
@@ -225,6 +262,8 @@ def main():
         "fid_png_protocol": float(fid_png),
         "fid_untrained_control": float(fid_ctrl),
         "harness_png_agreement": abs(float(entry["fid"]) - float(fid_png)),
+        "heldout_eps_mse_trained": loss_trained,
+        "heldout_eps_mse_init": loss_init,
         "train_wall_s": round(t_train, 1),
         "eval_wall_s": round(t_eval, 1),
     }

@@ -101,15 +101,18 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_real: int):
 
 
 def _lse_kernel(q_ref, k_ref, o_ref, *, scale: float, t_real: int):
-    """Per-row log-sum-exp of the masked logits (full-panel regime)."""
+    """Per-row log-sum-exp of the masked logits (full-panel regime).
+    Output rows live in a (T, 1) layout: TPU block shapes need the last two
+    dims divisible by (8, 128) or equal to the array's — (block_q, 1)
+    qualifies where a 2-D (1, block_q) block does not."""
     logits = jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     if k_ref.shape[1] != t_real:
         key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(key_ids < t_real, logits, -jnp.inf)
-    m = jnp.max(logits, axis=-1)
-    l = jnp.sum(jnp.exp(logits - m[:, None]), axis=-1)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    l = jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)
     o_ref[0] = m + jnp.log(l)
 
 
@@ -133,26 +136,27 @@ def _lse(q, k, scale, block_q, interpret):
             pl.BlockSpec((1, ts, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+        out_specs=pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, tq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, 1), jnp.float32),
         interpret=interpret,
     )(q, k)
-    return out[:, :t]
+    return out[:, :t, 0]
 
 
 def _bwd_p_ds(q, k, v, do, lse, delta, scale, s_real, base_k, block_k):
-    """Shared (p, ds) rebuild for both backward kernels (f32 tiles)."""
+    """Shared (p, ds) rebuild for both backward kernels (f32 tiles).
+    lse/delta arrive as (block_q, 1) columns and broadcast directly."""
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     if s_real is not None:
         ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + base_k
         logits = jnp.where(ids < s_real, logits, -jnp.inf)
-    p = jnp.exp(logits - lse[:, None])
+    p = jnp.exp(logits - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - delta[:, None]) * scale
+    ds = p * (dp - delta) * scale
     return p, ds
 
 
@@ -217,17 +221,18 @@ def _mha_backward(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
     tq, ts = t + t_pad, s + s_pad
     nq, nk = tq // block_q, ts // block_k
     # delta = rowsum(dO * O); zero on padded query rows, so padded queries
-    # contribute nothing to dk/dv (p * 0 - 0) and their dq rows are sliced
+    # contribute nothing to dk/dv (p * 0 - 0) and their dq rows are sliced.
+    # Row vectors travel in a (BH, T, 1) layout — see _lse_kernel.
     delta = jnp.pad(jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
-                            axis=-1), ((0, 0), (0, t_pad)))
-    lse_p = jnp.pad(lse, ((0, 0), (0, t_pad)))
+                            axis=-1), ((0, 0), (0, t_pad)))[..., None]
+    lse_p = jnp.pad(lse, ((0, 0), (0, t_pad)))[..., None]
     s_real = s if s_pad else None
 
     spec_t = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                           memory_space=pltpu.VMEM)
     spec_s = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                           memory_space=pltpu.VMEM)
-    spec_row = pl.BlockSpec((1, block_q), lambda b, i, j: (b, i),
+    spec_row = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
                             memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, s_real=s_real,
@@ -245,7 +250,7 @@ def _mha_backward(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
                            memory_space=pltpu.VMEM)
     spec_s2 = pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
                            memory_space=pltpu.VMEM)
-    spec_row2 = pl.BlockSpec((1, block_q), lambda b, j, i: (b, i),
+    spec_row2 = pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0),
                              memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, s_real=s_real,
@@ -341,7 +346,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
     def _finish():
         o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse_ref[0] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
+            lse_ref[0] = m_ref[:, :1] + jnp.log(l_ref[:, :1])
 
 
 def _flash_forward(q, k, v, scale, block_q, block_k, interpret,
@@ -362,9 +367,11 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret,
                           memory_space=pltpu.VMEM)
     out_specs, out_shape = spec_o, jax.ShapeDtypeStruct((bh, tq, d), q.dtype)
     if with_lse:
-        out_specs = [spec_o, pl.BlockSpec((1, block_q), lambda b, i, j: (b, i),
-                                          memory_space=pltpu.VMEM)]
-        out_shape = [out_shape, jax.ShapeDtypeStruct((bh, tq), jnp.float32)]
+        out_specs = [spec_o,
+                     pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((bh, tq, 1), jnp.float32)]
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, s_real=s,
                           block_k=block_k, nk=nk),
@@ -387,7 +394,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret,
         interpret=interpret,
     )(q, k, v)
     if with_lse:
-        return out[0][:, :t], out[1][:, :t]
+        return out[0][:, :t], out[1][:, :t, 0]
     return out[:, :t]
 
 
