@@ -15,8 +15,8 @@ step budget, already running at 99.7 TF/s implied (51% of bf16 peak,
 frameworks. The orchestration win shows on the multistep CIFAR headline
 (bench.py, 1.5x) where the model is small. What our framework adds over
 the reference's fp32-only score_sde stack is the bf16 serving path
-(--dtype bf16: 78.5 ms/eval, 113 TF/s, 1.13x) — reported as
-`serving_vs_reference_fp32` when run at bf16.
+— measured end to end with --serving: 323.3 samples/s bf16 vs 288.3
+fp32 reference stack, vs_baseline 1.121 (same session, same weights).
 
 Run on a TPU host: python benchmarks/score_sde_bench.py [--batch 256]
 [--deep/--no-deep]; prints one JSON line.
@@ -138,9 +138,13 @@ def main():
         t_base, baseline = float("nan"), "none"
 
     # roofline fields (CLAUDE.md): one-eval flops x NFE; cost analysis
-    # counts a scan body once so the per-trajectory count must be assembled
+    # counts a scan body once so the per-trajectory count must be
+    # assembled. Params as jit ARGUMENTS (closure constants exceed the
+    # tunnel's remote-compile payload limit, HTTP 413).
     try:
-        c = jax.jit(raw).lower(x_T, jnp.ones((args.batch,))).compile()
+        c = jax.jit(lambda pp, xx, tt: model.apply(
+            pp, xx, tt * 999.0, deterministic=True)).lower(
+                params, x_T, jnp.ones((args.batch,))).compile()
         ca = c.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         flops = args.steps * float(ca.get("flops", 0.0))
