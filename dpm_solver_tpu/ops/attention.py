@@ -47,16 +47,31 @@ def panel_block_q(t: int) -> int:
     return 256 if t >= 2048 else _BLOCK_Q
 
 
-def flash_block_q(t: int) -> int:
+def _flash_vmem_est(bq: int, bk: int, d: int) -> int:
+    """Rough scoped-VMEM bytes for one flash program: double-buffered
+    q/k/v/o blocks (bf16) + f32 acc/m/l scratch + the f32 logits tile."""
+    blocks = 2 * (bq * d * 2 + 2 * bk * d * 2 + bq * d * 2)
+    scratch = 4 * bq * d + 2 * bq * 128 * 4
+    return blocks + scratch + 4 * bq * bk
+
+
+def flash_block_q(t: int, d: int = 64) -> int:
     """Flash query tile (v5e sweep at (40, 9216, 64): large tiles amortize
-    the K/V panel loads — 52 TF/s at bq>=512 vs 29 at bq=128)."""
+    the K/V panel loads — 54 TF/s at bq=1024 vs 29 at bq=128). Large head
+    dims shrink the tile until the program fits scoped VMEM: the VAE's
+    single 512-wide mid-attention head at 9216 tokens blew the 16 MB limit
+    at batch 8 with bq=1024."""
     if t >= 8192:
-        return 1024
-    if t >= 3072:
-        return 512
-    if t >= 1024:
-        return 256
-    return _BLOCK_Q
+        bq = 1024
+    elif t >= 3072:
+        bq = 512
+    elif t >= 1024:
+        bq = 256
+    else:
+        bq = _BLOCK_Q
+    while bq > _BLOCK_Q and _flash_vmem_est(bq, _BLOCK_K, d) > 12_000_000:
+        bq //= 2
+    return bq
 
 
 def attention_xla(q, k, v, *, scale: Optional[float] = None):
@@ -488,7 +503,7 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
                                   interpret)
         else:
             # long-S regime (SD@768px: S=9216): streamed blocked-K kernel
-            out = flash_attention(qh, kh, vh, scale, flash_block_q(t),
+            out = flash_attention(qh, kh, vh, scale, flash_block_q(t, dh),
                                   _BLOCK_K, interpret)
     else:
         out = attention_xla(qh, kh, vh, scale=scale)
