@@ -1,0 +1,160 @@
+"""Classifier-guided ImageNet-256 sampling at full model size on one chip.
+
+The canonical guided configuration (ddpm_and_guided-diffusion/sample.sh:38-50;
+BASELINE config[2]): ADM 256px UNet + EncoderUNetModel classifier, guidance
+scale 8.0, DPM-Solver++ multistep order 2, 20 NFE, time_uniform grid,
+dynamic thresholding. The classifier gradient is `jax.grad` of the selected
+log-softmax FUSED INTO the sampling program (wrapper.py cond_grad_fn) — the
+reference pays a Python-level autograd call per NFE
+(dpm_solver_pytorch.py:300-307, torch.enable_grad inside no_grad).
+
+Random weights (throughput is weight-independent); learned-sigma output
+(out=2*in) uses the mean split like the reference runner (:600-603).
+Prints one JSON line with ms/image and roofline fields.
+
+Run on a TPU host: python benchmarks/guided_bench.py [--batch 8]
+(--tiny --cpu for a structural smoke run).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from benchmarks._cache import enable_compile_cache
+    enable_compile_cache()
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dpm_solver_tpu import NoiseScheduleVP, build_sampler, model_wrapper
+    from dpm_solver_tpu.configs import get_config
+    from dpm_solver_tpu.models import ADMClassifier, ADMUNet
+    from dpm_solver_tpu.solver import jit_hoisting_constants
+    from dpm_solver_tpu.solver.correctors import make_dynamic_thresholding
+
+    config = get_config("imagenet256_guided")
+    mc, cc = config.model_config, config.classifier_config
+    if args.tiny:
+        mc = dataclasses.replace(
+            mc, image_size=32, model_channels=32, num_res_blocks=1,
+            channel_mult=(1, 2), attention_resolutions=(2,), num_heads=2,
+            num_head_channels=-1)
+        cc = dataclasses.replace(
+            cc, image_size=32, model_channels=32, num_res_blocks=1,
+            channel_mult=(1, 2), attention_resolutions=(2,),
+            num_head_channels=16)
+    side = mc.image_size
+    scale = config.sampling.classifier_scale
+
+    unet = ADMUNet(config=mc, compute_dtype=jnp.bfloat16)
+    clf = ADMClassifier(config=cc, compute_dtype=jnp.bfloat16)
+    y = jnp.asarray(np.random.default_rng(1).integers(0, 1000, args.batch),
+                    jnp.int32)
+    t0 = time.perf_counter()
+    uparams = jax.jit(lambda r: unet.init(
+        r, jnp.zeros((1, side, side, 3)), jnp.ones((1,)), y[:1], None,
+        deterministic=True))(jax.random.key(0))
+    cparams = jax.jit(lambda r: clf.init(
+        r, jnp.zeros((1, side, side, 3)), jnp.ones((1,)),
+        deterministic=True))(jax.random.key(1))
+    n_u = sum(x.size for x in jax.tree.leaves(uparams))
+    n_c = sum(x.size for x in jax.tree.leaves(cparams))
+    print(f"# unet {n_u/1e6:.0f}M + classifier {n_c/1e6:.0f}M params "
+          f"({time.perf_counter()-t0:.0f}s init)", file=sys.stderr, flush=True)
+
+    ns = NoiseScheduleVP.discrete(betas=config.diffusion.betas())
+
+    def raw(x, t):
+        out = unet.apply(uparams, x, t, y, None, deterministic=True)
+        return out[..., :3]  # learned-sigma: mean split (ref :600-603)
+
+    def log_prob(x, t, yy):
+        logits = clf.apply(cparams, x, t, deterministic=True)
+        return jax.nn.log_softmax(logits, axis=-1)[
+            jnp.arange(x.shape[0]), yy]
+
+    model_fn = model_wrapper(
+        raw, ns, model_type="noise", guidance_type="classifier",
+        condition=y, guidance_scale=scale,
+        classifier_fn=lambda x, t, yy: log_prob(x, t, yy))
+
+    fn = build_sampler(
+        model_fn, ns, steps=args.steps, order=2, method="multistep",
+        skip_type="time_uniform",
+        correcting_x0_fn=make_dynamic_thresholding(0.995, 1.0))
+    x_T = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (args.batch, side, side, 3)), jnp.float32)
+    jfn = jit_hoisting_constants(fn, x_T)
+
+    def sync(o):
+        return float(o.ravel()[0])
+
+    t0 = time.perf_counter()
+    out0 = jfn(x_T)
+    sync(out0)
+    print(f"# compile+warm {time.perf_counter()-t0:.0f}s", file=sys.stderr,
+          flush=True)
+    assert np.isfinite(np.asarray(out0)).all(), "non-finite guided samples"
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(args.reps):
+        out = jfn(x_T)
+    sync(out)
+    dt = (time.perf_counter() - t0) / args.reps
+
+    # roofline: per-NFE program = UNet eval + classifier fwd+bwd (~3x fwd)
+    try:
+        c = jax.jit(lambda up, xx, tt: unet.apply(
+            up, xx, tt, y, None, deterministic=True)).lower(
+                uparams, x_T, jnp.ones((args.batch,))).compile()
+        ca = c.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        f_unet = float(ca.get("flops", 0.0))
+        c2 = jax.jit(lambda cp, xx, tt: clf.apply(
+            cp, xx, tt, deterministic=True)).lower(
+                cparams, x_T, jnp.ones((args.batch,))).compile()
+        ca2 = c2.cost_analysis()
+        ca2 = ca2[0] if isinstance(ca2, list) else ca2
+        f_clf = float(ca2.get("flops", 0.0))
+        flops = args.steps * (f_unet + 3.0 * f_clf)
+    except Exception as e:  # noqa: BLE001
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+        flops = 0.0
+    peak = None if jax.devices()[0].platform == "cpu" else 197e12
+    tfs = flops / dt / 1e12
+    print(f"# {dt*1e3:.0f} ms/batch ({dt*1e3/args.batch:.0f} ms/image, "
+          f"{tfs:.1f} TF/s)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"imagenet256_guided_scale{scale:g}_{args.steps}nfe_"
+                  "samples_per_sec_per_chip",
+        "value": round(args.batch / dt, 3),
+        "unit": "samples/s",
+        "batch": args.batch,
+        "image_size": side,
+        "flops_per_batch": flops,
+        "implied_tflops": round(tfs, 2),
+        "mfu": round(flops / dt / peak, 4) if peak else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -273,6 +273,7 @@ def build_singlestep_plan(
     fixed: bool = False,
     denoise_to_zero: bool = False,
     dtype=jnp.float32,
+    min_scan: int = 2,
 ) -> SamplePlan:
     """Plan a singlestep (Runge-Kutta-like) trajectory.
 
@@ -315,11 +316,13 @@ def build_singlestep_plan(
         return rows, evals, commits
 
     # group consecutive same-order segments (`to_sparse_list` semantics,
-    # ref dpm_solver_jax.py:1181-1197): runs of >= MIN_SCAN segments compile
+    # ref dpm_solver_jax.py:1181-1197): runs of >= min_scan segments compile
     # to one lax.scan; the remainder stays unrolled. Once a group is
     # unrolled every later group is too — the executor runs all seg_scans
-    # before the tail, so scanned groups must form a prefix.
-    MIN_SCAN = 2
+    # before the tail, so scanned groups must form a prefix. (`min_scan`
+    # huge forces the fully-unrolled form; tests use it to pin scanned ==
+    # unrolled equivalence.)
+    MIN_SCAN = min_scan
     groups: List[Tuple[int, int]] = []          # (order, count)
     for seg_order in orders:
         if groups and groups[-1][0] == seg_order:
