@@ -34,6 +34,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK_Q = 128
 
+# Softmax runs in base 2: q is pre-scaled by scale*log2(e) once (an (T, D)
+# elementwise op) so the kernels never touch the (T, S) logits with a scale
+# multiply and use exp2 — the VPU's native transcendental — instead of exp.
+# Mathematically identical: exp2(log2(e)*(z - m)) == exp(z - m).
+# Measured on v5e: neutral at the SD hot shapes (fwd 16.12 vs 16.11 ms,
+# bwd 51.7 vs 52.3 ms at (40, 9216, 64) — the kernels are MXU-bound, the
+# VPU work hides under the matmuls); kept because it strictly removes an
+# (T, S)-sized multiply per tile and frees VPU headroom as MXU util rises.
+_LOG2E = math.log2(math.e)
+_LN2 = math.log(2.0)
+
 
 def panel_fits_vmem(s: int, dh: int) -> bool:
     """Whether the full-panel kernel's K/V + logits regime fits the VMEM
@@ -83,18 +94,18 @@ def attention_xla(q, k, v, *, scale: Optional[float] = None):
     return jnp.einsum("bqk,bkd->bqd", p, v)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_real: int):
-    q = q_ref[0]
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
+    q = q_ref[0]  # pre-scaled by scale * log2(e): logits live in base 2
     k = k_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32)
     t_pad = k.shape[0]
     if t_pad != t_real:  # mask zero-padded keys out of the softmax
         key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(key_ids < t_real, logits, -jnp.inf)
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    p = jnp.exp2(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     acc = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -115,26 +126,29 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_real: int):
 # --------------------------------------------------------------------------- #
 
 
-def _lse_kernel(q_ref, k_ref, o_ref, *, scale: float, t_real: int):
-    """Per-row log-sum-exp of the masked logits (full-panel regime).
+def _lse_kernel(q_ref, k_ref, o_ref, *, t_real: int):
+    """Per-row base-2 log-sum-exp of the masked logits (full-panel regime;
+    q arrives pre-scaled by scale*log2e, so the emitted rows are
+    lse2 = log2(sum exp(z)) * log2e — the domain `_bwd_p_ds` consumes).
     Output rows live in a (T, 1) layout: TPU block shapes need the last two
     dims divisible by (8, 128) or equal to the array's — (block_q, 1)
     qualifies where a 2-D (1, block_q) block does not."""
     logits = jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32)
     if k_ref.shape[1] != t_real:
         key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(key_ids < t_real, logits, -jnp.inf)
     m = jnp.max(logits, axis=-1, keepdims=True)
-    l = jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)
-    o_ref[0] = m + jnp.log(l)
+    l = jnp.sum(jnp.exp2(logits - m), axis=-1, keepdims=True)
+    o_ref[0] = m + jnp.log2(l)
 
 
 def _lse(q, k, scale, block_q, interpret):
-    """(BH, T) log-sum-exp rows (full-panel regime; pads internally)."""
+    """(BH, T) base-2 log-sum-exp rows (full-panel regime; pads internally)."""
     bh, t, d = q.shape
     s = k.shape[1]
+    q = (q * (scale * _LOG2E)).astype(q.dtype)
     t_pad = -t % block_q
     s_pad = -s % block_q
     if t_pad:
@@ -143,7 +157,7 @@ def _lse(q, k, scale, block_q, interpret):
         k = jnp.pad(k, ((0, 0), (0, s_pad), (0, 0)))
     tq, ts = t + t_pad, s + s_pad
     out = pl.pallas_call(
-        functools.partial(_lse_kernel, scale=scale, t_real=s),
+        functools.partial(_lse_kernel, t_real=s),
         grid=(bh, tq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
@@ -159,19 +173,25 @@ def _lse(q, k, scale, block_q, interpret):
     return out[:, :t, 0]
 
 
-def _bwd_p_ds(q, k, v, do, lse, delta, scale, s_real, base_k, block_k):
+def _bwd_p_ds(q, k, v, do, lse, delta, s_real, base_k, block_k):
     """Shared (p, ds) rebuild for both backward kernels (f32 tiles).
+
+    q arrives pre-scaled by scale*log2e and lse in base 2, so p is rebuilt
+    with a single exp2 and no per-logit scale multiply. ds here is the
+    gradient w.r.t. the *unscaled* logits z = q k^T: the true-scale factors
+    are applied once on the small (block, D) outputs at kernel finish
+    (dq: ×scale against k; dk: ×ln2 against the pre-scaled q).
     lse/delta arrive as (block_q, 1) columns and broadcast directly."""
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32)
     if s_real is not None:
         ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + base_k
         logits = jnp.where(ids < s_real, logits, -jnp.inf)
-    p = jnp.exp(logits - lse)
+    p = jnp.exp2(logits - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta)
     return p, ds
 
 
@@ -184,19 +204,19 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     _, ds = _bwd_p_ds(q_ref[0], k_ref[0], v_ref[0], do_ref[0], lse_ref[0],
-                      delta_ref[0], scale, s_real, kidx * block_k, block_k)
+                      delta_ref[0], s_real, kidx * block_k, block_k)
     acc_ref[...] += jax.lax.dot_general(
         ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(kidx == nk - 1)
     def _finish():
-        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc, *,
-                scale: float, s_real, block_k: int, nq: int):
+                s_real, block_k: int, nq: int):
     qidx = pl.program_id(2)
     kidx = pl.program_id(1)
 
@@ -205,10 +225,10 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled by scale*log2e; dk rescales by ln2 at finish
     do = do_ref[0]
     p, ds = _bwd_p_ds(q, k_ref[0], v_ref[0], do, lse_ref[0], delta_ref[0],
-                      scale, s_real, kidx * block_k, block_k)
+                      s_real, kidx * block_k, block_k)
     dv_acc[...] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -218,15 +238,18 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(qidx == nq - 1)
     def _finish():
-        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        # dk = ds^T (q2 / (scale*log2e)) * scale = ds^T q2 * ln2
+        dk_ref[0] = (dk_acc[...] * _LN2).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _mha_backward(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
     """Flash-style dq/dk/dv. q/o/g: (BH, T, D); k/v: (BH, S, D);
-    lse: (BH, T) over the REAL keys (padded keys were masked at forward)."""
+    lse: (BH, T) BASE-2 log-sum-exp over the REAL keys (padded keys were
+    masked at forward). q is re-scaled by scale*log2e here to match."""
     bh, t, d = q.shape
     s = k.shape[1]
+    q = (q * (scale * _LOG2E)).astype(q.dtype)
     t_pad = -t % block_q
     s_pad = -s % block_k
     pad_t = lambda u: jnp.pad(u, ((0, 0), (0, t_pad), (0, 0))) if t_pad else u
@@ -268,7 +291,7 @@ def _mha_backward(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
     spec_row2 = pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0),
                              memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, s_real=s_real,
+        functools.partial(_dkv_kernel, s_real=s_real,
                           block_k=block_k, nq=nq),
         grid=(bh, nk, nq),
         in_specs=[spec_t2, spec_s2, spec_s2, spec_t2, spec_row2, spec_row2],
@@ -285,6 +308,7 @@ def _mha_backward(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
 def _forward(q, k, v, scale, block_q, interpret):
     bh, t, d = q.shape
     s = k.shape[1]
+    q = (q * (scale * _LOG2E)).astype(q.dtype)
     t_pad = -t % block_q
     s_pad = -s % block_q
     if t_pad:
@@ -295,7 +319,7 @@ def _forward(q, k, v, scale, block_q, interpret):
     tq, ts = t + t_pad, s + s_pad
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, t_real=s),
+        functools.partial(_kernel, t_real=s),
         grid=(bh, tq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
@@ -317,11 +341,12 @@ _BLOCK_K = 1024
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
-                  scale: float, s_real: int, block_k: int, nk: int):
+                  s_real: int, block_k: int, nk: int):
     """Streaming (blocked-K) attention step: running max/sum rescaling keeps
     VMEM use constant in S. Scratch m/l/acc persist across the (sequential)
     k grid dimension; out is written on the last k block. With a second
-    output ref present (grad path) the per-row log-sum-exp is emitted too."""
+    output ref present (grad path) the per-row BASE-2 log-sum-exp is
+    emitted too. q arrives pre-scaled by scale*log2e (base-2 softmax)."""
     if len(rest) == 4:
         lse_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -339,7 +364,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
     k = k_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32)
     if s_real % block_k:  # file has a padded tail block: mask those keys
         base = kidx * block_k
         ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + base
@@ -349,8 +374,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     # fully-padded tail blocks leave m unchanged; alpha=1, p=0
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(logits - m_new)
     l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -361,13 +386,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
     def _finish():
         o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse_ref[0] = m_ref[:, :1] + jnp.log(l_ref[:, :1])
+            lse_ref[0] = m_ref[:, :1] + jnp.log2(l_ref[:, :1])
 
 
 def _flash_forward(q, k, v, scale, block_q, block_k, interpret,
                    with_lse=False):
     bh, t, d = q.shape
     s = k.shape[1]
+    q = (q * (scale * _LOG2E)).astype(q.dtype)
     t_pad = -t % block_q
     s_pad = -s % block_k
     if t_pad:
@@ -388,7 +414,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret,
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((bh, tq, 1), jnp.float32)]
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, s_real=s,
+        functools.partial(_flash_kernel, s_real=s,
                           block_k=block_k, nk=nk),
         grid=(bh, tq // block_q, nk),
         in_specs=[
