@@ -34,6 +34,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from dpm_solver_tpu.ops.conv3x3 import Conv3x3
+
 
 @dataclasses.dataclass(frozen=True)
 class ADMConfig:
@@ -231,8 +233,7 @@ class ADMResample(nn.Module):
         if self.direction == "up":
             x = _nearest_x2(x)
             if self.with_conv:
-                x = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                            dtype=self.dtype, name="conv")(x)
+                x = Conv3x3(out_ch, dtype=self.dtype, name="conv")(x)
         elif self.with_conv:
             x = nn.Conv(out_ch, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)), dtype=self.dtype,
@@ -262,8 +263,7 @@ class ADMResBlock(nn.Module):
             resample = _nearest_x2 if self.direction == "up" else _avgpool_x2
             h = resample(h)
             x = resample(x)
-        h = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-                    name="in_conv")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
         emb_width = 2 * out_ch if self.use_scale_shift_norm else out_ch
         e = nn.Dense(emb_width, dtype=self.dtype, name="emb_proj")(
             jax.nn.silu(emb))[:, None, None, :]
@@ -274,15 +274,13 @@ class ADMResBlock(nn.Module):
             h = GroupNorm32(name="out_norm")(h + e)
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                    kernel_init=_zero_init(), dtype=self.dtype,
+        h = Conv3x3(out_ch, kernel_init=_zero_init(), dtype=self.dtype,
                     name="out_conv")(h)
         # unlike the BigGAN block, ADM keeps an identity skip whenever the
         # channel count is unchanged — even for up/down blocks (unet.py:215-222)
         if c != out_ch:
             if self.conv_shortcut:
-                x = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                            dtype=self.dtype, name="skip")(x)
+                x = Conv3x3(out_ch, dtype=self.dtype, name="skip")(x)
             else:
                 x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
         return x + h

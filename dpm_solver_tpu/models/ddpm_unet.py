@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from dpm_solver_tpu.ops.conv3x3 import Conv3x3
+
 
 @dataclasses.dataclass(frozen=True)
 class DDPMUNetConfig:
@@ -92,7 +94,7 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb, *, deterministic=True):
         in_ch = x.shape[-1]
-        conv = lambda name: nn.Conv(self.out_channels, (3, 3), padding=1,
+        conv = lambda name: Conv3x3(self.out_channels,
                                     dtype=self.compute_dtype, name=name)
         h = swish(GroupNorm32(name="norm1")(x))
         h = conv("conv1")(h)
@@ -152,8 +154,7 @@ class Upsample(nn.Module):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
         if self.with_conv:
-            x = nn.Conv(c, (3, 3), padding=1, dtype=self.compute_dtype,
-                        name="conv")(x)
+            x = Conv3x3(c, dtype=self.compute_dtype, name="conv")(x)
         return x
 
 

@@ -35,6 +35,7 @@ import numpy as np
 
 from dpm_solver_tpu.models.ddpm_unet import timestep_embedding
 from dpm_solver_tpu.ops import resample as rs
+from dpm_solver_tpu.ops.conv3x3 import Conv3x3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -220,7 +221,7 @@ class Resample(nn.Module):
             if up:
                 x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
                 if self.with_conv:
-                    x = nn.Conv(out_ch, (3, 3), kernel_init=ddpm_init(),
+                    x = Conv3x3(out_ch, kernel_init=ddpm_init(),
                                 dtype=self.dtype, name="conv")(x)
             elif self.with_conv:
                 x = nn.Conv(out_ch, (3, 3), strides=(2, 2), padding="SAME",
@@ -274,7 +275,7 @@ class ResBlockpp(nn.Module):
         if self.variant == "biggan":
             h = self._resample(h)
             x = self._resample(x.astype(self.dtype))
-        h = nn.Conv(out_ch, (3, 3), kernel_init=ddpm_init(),
+        h = Conv3x3(out_ch, kernel_init=ddpm_init(),
                     dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=ddpm_init(),
@@ -282,7 +283,7 @@ class ResBlockpp(nn.Module):
                              name="temb_proj")(act(temb))[:, None, None, :]
         h = act(_gn(out_ch, "norm2")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(out_ch, (3, 3), kernel_init=ddpm_init(self.init_scale),
+        h = Conv3x3(out_ch, kernel_init=ddpm_init(self.init_scale),
                     dtype=self.dtype, name="conv2")(h)
         if c != out_ch or self.direction is not None:
             x = nn.Conv(out_ch, (1, 1), kernel_init=ddpm_init(),

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dpm_solver_tpu.ops.conv3x3 import Conv3x3
+
 
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
@@ -92,12 +94,10 @@ class VAEResBlock(nn.Module):
         c = x.shape[-1]
         out_ch = self.out_ch or c
         h = _swish(_norm("norm1")(x))
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, name="conv1")(h)
         h = _swish(_norm("norm2")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, name="conv2")(h)
         if c != out_ch:
             x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
@@ -133,7 +133,7 @@ class VAEEncoder(nn.Module):
         cfg = self.config
         dt = self.dtype
         res = cfg.resolution
-        h = nn.Conv(cfg.ch, (3, 3), padding=1, dtype=dt, name="conv_in")(x)
+        h = Conv3x3(cfg.ch, dtype=dt, name="conv_in")(x)
         for i, mult in enumerate(cfg.ch_mult):
             for j in range(cfg.num_res_blocks):
                 h = VAEResBlock(cfg.ch * mult, cfg.dropout, dt,
@@ -158,7 +158,7 @@ class VAEEncoder(nn.Module):
             h, deterministic=deterministic)
         h = _swish(_norm("norm_out")(h))
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
-        return nn.Conv(out_ch, (3, 3), padding=1, dtype=dt, name="conv_out")(h)
+        return Conv3x3(out_ch, dtype=dt, name="conv_out")(h)
 
 
 class VAEDecoder(nn.Module):
@@ -173,8 +173,7 @@ class VAEDecoder(nn.Module):
         dt = self.dtype
         levels = len(cfg.ch_mult)
         res = cfg.resolution // 2 ** (levels - 1)
-        h = nn.Conv(cfg.ch * cfg.ch_mult[-1], (3, 3), padding=1, dtype=dt,
-                    name="conv_in")(z)
+        h = Conv3x3(cfg.ch * cfg.ch_mult[-1], dtype=dt, name="conv_in")(z)
         h = VAEResBlock(None, cfg.dropout, dt, name="mid_block_1")(
             h, deterministic=deterministic)
         h = VAEAttnBlock(dt, name="mid_attn_1")(h)
@@ -191,11 +190,10 @@ class VAEDecoder(nn.Module):
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, 2 * hh, 2 * ww, c), "nearest")
                 if cfg.resamp_with_conv:
-                    h = nn.Conv(c, (3, 3), padding=1, dtype=dt,
-                                name=f"up_{i}_upsample")(h)
+                    h = Conv3x3(c, dtype=dt, name=f"up_{i}_upsample")(h)
                 res *= 2
         h = _swish(_norm("norm_out")(h))
-        h = nn.Conv(cfg.out_ch, (3, 3), padding=1, dtype=dt, name="conv_out")(h)
+        h = Conv3x3(cfg.out_ch, dtype=dt, name="conv_out")(h)
         return jnp.tanh(h) if cfg.tanh_out else h
 
 
