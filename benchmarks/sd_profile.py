@@ -131,13 +131,25 @@ def main():
     vae_params = jax.jit(lambda r: vae.init(
         r, jnp.zeros((1, 8 * args.latent, 8 * args.latent, 3))))(
             jax.random.key(1))
-    jdec = jax.jit(lambda vp, zz: vae.apply(
-        vp, zz / 0.18215, method=AutoencoderKL.decode
-    ).astype(jnp.float32))
-    cdec = jdec.lower(vae_params, z).compile()
+
+    def make_dec():
+        # fresh lambda per lowering: jax.jit caches traces by callable
+        # identity, and the two arms must trace under different dispatch
+        return jax.jit(lambda vp, zz: vae.apply(
+            vp, zz / 0.18215, method=AutoencoderKL.decode
+        ).astype(jnp.float32))
+
+    # flops from a forced-XLA lowering: cost analysis can't see inside the
+    # Pallas conv3x3 custom calls, and the flop count is the same either way
+    import dpm_solver_tpu.ops.conv3x3 as _c3
+    _orig_pred = _c3.conv3x3_supported
+    _c3.conv3x3_supported = lambda *a: False
+    dec_flops = cost_compiled(make_dec().lower(vae_params, z).compile())
+    _c3.conv3x3_supported = _orig_pred
+    cdec = make_dec().lower(vae_params, z).compile()
     dt = timed(lambda zz: cdec(vae_params, zz), z, max(2, args.reps // 2))
     rows["vae_decode"] = {"ms": round(dt * 1e3, 1),
-                          "tflops_s": round(cost_compiled(cdec) / dt / 1e12, 1)}
+                          "tflops_s": round(dec_flops / dt / 1e12, 1)}
     print(f"# vae_decode: {rows['vae_decode']}", file=sys.stderr, flush=True)
 
     steps20 = 20 * rows["unet_eval_pallas_attn"]["ms"]
