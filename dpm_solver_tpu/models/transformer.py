@@ -58,19 +58,22 @@ class CrossAttention(nn.Module):
 
 class GEGLUFeedForward(nn.Module):
     """FeedForward with gated-GELU projection (attention.py:37-65; SD always
-    uses glu=True via gated_ff)."""
+    uses glu=True via gated_ff). Routed through the fused Pallas GEGLU
+    kernel in regime (ops/geglu.py — the d->8d projection never touches
+    HBM); param tree identical to the Dense pair it replaces."""
 
     mult: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from dpm_solver_tpu.ops.geglu import _LinParams, geglu_ff
+
         dim = x.shape[-1]
         inner = dim * self.mult
-        h = nn.Dense(2 * inner, dtype=self.dtype, name="proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        h = h * jax.nn.gelu(gate, approximate=False)
-        return nn.Dense(dim, dtype=self.dtype, name="out")(h)
+        w1, b1 = _LinParams(dim, 2 * inner, name="proj")()
+        w2, b2 = _LinParams(inner, dim, name="out")()
+        return geglu_ff(x.astype(self.dtype), w1, b1, w2, b2)
 
 
 class TransformerBlock(nn.Module):
