@@ -26,6 +26,11 @@ SHAPES = [
     (4, 192, 192, 512, 512),       # VAE up_2 resblocks (XLA ~83 TF/s)
     (4, 96, 96, 512, 512),         # VAE mid / up_3 (XLA already fast)
     (8, 96, 96, 320, 320),         # SD UNet level-0 resblocks (CFG b4)
+    (8, 256, 256, 256, 256),       # ADM ImageNet-256 level 0 (guided b8)
+    (8, 256, 256, 128, 128),       # ADM classifier / NCSN++ church lvl 0
+    (8, 128, 128, 256, 256),       # ADM ImageNet-256 level 1
+    (8, 128, 128, 512, 512),       # ADM ImageNet-512-class level shapes
+    (16, 256, 256, 128, 128),      # NCSN++ 256px serving batch
 ]
 
 

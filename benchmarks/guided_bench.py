@@ -33,6 +33,9 @@ def main():
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--no-slab-conv", action="store_true",
+                   help="force the XLA conv lowering everywhere (A/B arm "
+                        "against the Pallas conv3x3 dispatch)")
     args = p.parse_args()
 
     import jax
@@ -41,6 +44,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     from benchmarks._cache import enable_compile_cache
     enable_compile_cache()
+    import dpm_solver_tpu.ops.conv3x3 as _c3
+    if args.no_slab_conv:
+        _c3.conv3x3_supported = lambda *a: False
     import dataclasses
 
     import jax.numpy as jnp
@@ -121,7 +127,11 @@ def main():
     sync(out)
     dt = (time.perf_counter() - t0) / args.reps
 
-    # roofline: per-NFE program = UNet eval + classifier fwd+bwd (~3x fwd)
+    # roofline: per-NFE program = UNet eval + classifier fwd+bwd (~3x fwd).
+    # Flops counted on a forced-XLA lowering — cost analysis can't see
+    # inside Pallas custom calls, and the flop count is dispatch-invariant.
+    _pred = _c3.conv3x3_supported
+    _c3.conv3x3_supported = lambda *a: False
     try:
         c = jax.jit(lambda up, xx, tt: unet.apply(
             up, xx, tt, y, None, deterministic=True)).lower(
@@ -139,6 +149,8 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"# cost analysis unavailable: {e}", file=sys.stderr)
         flops = 0.0
+    finally:
+        _c3.conv3x3_supported = _pred
     peak = None if jax.devices()[0].platform == "cpu" else 197e12
     tfs = flops / dt / 1e12
     print(f"# {dt*1e3:.0f} ms/batch ({dt*1e3/args.batch:.0f} ms/image, "

@@ -57,13 +57,16 @@ def _vmem_est(th: int, w: int, co: int) -> int:
 
 
 def _pick_th(h: int, w: int, co: int) -> int:
-    """Rows per program: as many as fit the (16 MB, keep ~3 MB headroom)
-    scoped-VMEM budget, capped at TH*W ~ 3072 output rows-by-width (the M
-    of the MXU matmuls — bigger buys nothing)."""
-    th = max(1, 3072 // w)
-    while th > 1 and (h % th or _vmem_est(th, w, co) > 12_500_000):
-        th //= 2
-    return th
+    """Rows per program: the largest divisor of H that fits the (16 MB,
+    keep ~3 MB headroom) scoped-VMEM budget, capped at TH*W ~ 8192 output
+    rows-by-lanes (the M of the MXU matmuls — bigger buys nothing)."""
+    best = 1
+    for th in range(2, h + 1):
+        if th * w > 8192:
+            break
+        if h % th == 0 and _vmem_est(th, w, co) <= 12_500_000:
+            best = th
+    return best
 
 
 def _kernel(xm_ref, x0_ref, xp_ref, w_ref, o_ref, acc_ref, *,
