@@ -310,6 +310,59 @@ def cmd_train(args):
     print(f"finished at step {int(state.step)}")
 
 
+def cmd_train_latent(args):
+    """LDM training / fine-tuning: frozen first stage, UNet trains
+    (ref main.py Lightning harness -> run_lib.train_latent plain loop)."""
+    import numpy as np
+
+    from dpm_solver_tpu.run_lib import train_latent
+
+    data = np.load(args.data_path)
+    images = np.asarray(data["images"])
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 127.5 - 1.0
+    context = np.asarray(data["context"]) if "context" in data else None
+
+    rs = np.random.default_rng(0)
+
+    def batches():
+        n = images.shape[0]
+        while True:
+            idx = rs.integers(0, n, size=args.batch_size)
+            if context is None:
+                yield images[idx]
+            else:
+                yield images[idx], context[idx]
+
+    init_model = None
+    unet_config = vae_config = None
+    if args.sd_ckpt:
+        from dpm_solver_tpu.pipelines.stable_diffusion import load_sd_checkpoint
+
+        init_model = load_sd_checkpoint(args.sd_ckpt, preset=args.preset)
+    elif args.tiny:
+        from dpm_solver_tpu.models.adm_unet import ADMConfig
+        from dpm_solver_tpu.models.vae import VAEConfig
+
+        unet_config = ADMConfig(
+            image_size=8, in_channels=4, model_channels=32, out_channels=4,
+            num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+            num_heads=2, use_spatial_transformer=True, transformer_depth=1,
+            context_dim=context.shape[-1] if context is not None else 24)
+        vae_config = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                               z_channels=4, embed_dim=4,
+                               resolution=images.shape[1])
+    state = train_latent(
+        args.preset, batches(), workdir=args.workdir,
+        unet_config=unet_config, vae_config=vae_config,
+        init_model=init_model, parameterization=args.parameterization,
+        cond_dropout=args.cond_dropout, lr=args.lr,
+        max_steps=args.max_steps, log_freq=args.log_freq,
+        snapshot_freq=args.snapshot_freq,
+        snapshot_freq_for_preemption=args.snapshot_freq_for_preemption)
+    print(f"finished at step {int(state.step)}")
+
+
 def cmd_eval(args):
     import jax
 
@@ -617,6 +670,32 @@ def main(argv=None):
     tp.add_argument("--batch-size", type=int, default=None,
                     help="override the config's training batch size")
     tp.set_defaults(fn=cmd_train)
+
+    tl = sub.add_parser("train-latent",
+                        help="latent-diffusion training: frozen first "
+                             "stage, UNet trains (LDM p_losses)")
+    tl.add_argument("--preset", default="sd_v1",
+                    choices=("sd_v1", "sd_v2_1", "cin256", "rdm_768"))
+    tl.add_argument("--workdir", default="./workdir")
+    tl.add_argument("--data-path", required=True,
+                    help="npz with 'images' [N,H,W,3] (uint8 or [-1,1] "
+                         "float) and optional 'context' [N,L,D]")
+    tl.add_argument("--sd-ckpt", default=None,
+                    help="CompVis checkpoint to fine-tune from (UNet init "
+                         "+ frozen first stage + schedule)")
+    tl.add_argument("--tiny", action="store_true",
+                    help="shrunken random-init geometry (hermetic smoke)")
+    tl.add_argument("--batch-size", type=int, default=4)
+    tl.add_argument("--max-steps", type=int, default=1000)
+    tl.add_argument("--lr", type=float, default=1e-4)
+    tl.add_argument("--cond-dropout", type=float, default=0.0)
+    tl.add_argument("--parameterization", default=None,
+                    choices=("eps", "x0", "v"))
+    tl.add_argument("--log-freq", type=int, default=50)
+    tl.add_argument("--snapshot-freq", type=int, default=10_000)
+    tl.add_argument("--snapshot-freq-for-preemption", type=int,
+                    default=1_000)
+    tl.set_defaults(fn=cmd_train_latent)
 
     ep = sub.add_parser("eval")
     ep.add_argument("--config", required=True)

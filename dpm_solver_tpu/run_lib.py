@@ -339,3 +339,140 @@ def evaluate(config: Config, *, workdir: Optional[str] = None,
 
     delete_eval_meta(eval_dir)
     return results
+
+
+def train_latent(preset: str, data_iter: Iterator, *,
+                 workdir: str,
+                 unet_config=None, vae_config=None,
+                 init_model=None,
+                 parameterization: Optional[str] = None,
+                 cond_dropout: float = 0.0,
+                 uncond_context: Optional[np.ndarray] = None,
+                 lr: float = 1e-4, warmup: int = 0, grad_clip: float = 1.0,
+                 ema_rate: float = 0.9999,
+                 max_steps: int = 1000, log_freq: int = 50,
+                 snapshot_freq: int = 10_000,
+                 snapshot_freq_for_preemption: int = 1_000,
+                 seed: int = 0) -> TrainState:
+    """Latent-diffusion training loop: frozen first stage, UNet trains.
+
+    The reference trains LDMs through a PyTorch-Lightning harness
+    (examples/stable-diffusion/main.py + ldm/models/diffusion/ddpm.py
+    ``p_losses``); the TPU-native twin is this plain loop over the jitted
+    pure step from ``training/latent.py`` — preemption-safe like ``train``
+    (meta checkpoints + restore-or-init), params and frozen VAE weights as
+    jit arguments, batch shardable over the mesh's data axis.
+
+    Args:
+      preset: LDM geometry/schedule preset (``sd_v1 | sd_v2_1 | cin256 |
+        rdm_768`` — pipelines/stable_diffusion._LDM_PRESETS); explicit
+        ``unet_config`` / ``vae_config`` override its geometry.
+      data_iter: yields image batches [B,H,W,3] in model space ([-1,1]),
+        or ``(images, context)`` tuples for conditional training.
+      init_model: optional ``LatentDiffusion`` bundle (e.g. from
+        ``load_sd_checkpoint``) — fine-tuning flow: its UNet params seed
+        the train state and its VAE is the frozen first stage.
+      parameterization: eps | x0 | v; None = the preset's convention
+        (v for SD-2.x linear-transformer geometry, eps otherwise).
+      cond_dropout / uncond_context: classifier-free-guidance training
+        (p(drop) and the null context row, broadcast per sample).
+    """
+    from dpm_solver_tpu.models.adm_unet import ADMUNet
+    from dpm_solver_tpu.models.vae import AutoencoderKL, VQModel
+    from dpm_solver_tpu.pipelines.stable_diffusion import (
+        _LDM_PRESETS,
+        make_ldm_betas,
+    )
+    from dpm_solver_tpu.training.latent import (
+        make_latent_train_step,
+        vae_encode_fn,
+    )
+
+    if preset not in _LDM_PRESETS:
+        raise ValueError(f"unknown preset {preset!r}; "
+                         f"one of {sorted(_LDM_PRESETS)}")
+    u_default, v_default, beta_kw, scale = _LDM_PRESETS[preset]
+    unet_config = unet_config or (init_model.unet.config if init_model
+                                  else u_default())
+    vae_config = vae_config or (init_model.vae.config if init_model
+                                else v_default())
+    if parameterization is None:
+        parameterization = (init_model.parameterization if init_model
+                            else ("v" if unet_config.use_linear_in_transformer
+                                  else "eps"))
+    betas = init_model.betas if init_model else make_ldm_betas(1000, **beta_kw)
+
+    rng = jax.random.PRNGKey(seed)
+    rng, rng_u, rng_v = jax.random.split(rng, 3)
+    unet = ADMUNet(config=unet_config)
+    is_vq = (isinstance(init_model.vae, VQModel) if init_model is not None
+             else preset == "cin256")
+    if init_model is not None:
+        vae, vae_params = init_model.vae, init_model.vae_params
+        unet_params = init_model.unet_params
+    else:
+        vae = (VQModel(config=vae_config) if is_vq
+               else AutoencoderKL(config=vae_config))
+        res = vae_config.resolution
+        z = jnp.zeros((1, res, res, vae_config.in_channels))
+        vae_params = jax.jit(lambda: vae.init(rng_v, z))()
+        f = 2 ** (len(vae_config.ch_mult) - 1)
+        zl = jnp.zeros((1, res // f, res // f, unet_config.in_channels))
+        ctx = (None if unet_config.context_dim is None else
+               jnp.zeros((1, 1, unet_config.context_dim)))
+        unet_params = jax.jit(lambda: unet.init(
+            rng_u, zl, jnp.zeros((1,)), None, ctx, deterministic=True))()
+
+    if is_vq:
+        def encode_fn(vp, images, _rng):
+            zq = vae.apply(vp, images, method=VQModel.encode)
+            return scale * jax.lax.stop_gradient(zq)
+    else:
+        encode_fn = vae_encode_fn(vae, scale_factor=scale)
+
+    tx = make_optimizer(lr, warmup, grad_clip)
+    state, _ = make_train_state(unet_params, ema_rate=ema_rate, tx=tx)
+    ckpts = CheckpointManager(os.path.join(workdir, "checkpoints"),
+                              max_to_keep=5)
+    meta = CheckpointManager(os.path.join(workdir, "checkpoints-meta"),
+                             max_to_keep=1)
+    state = restore_or_init(meta, state)
+    start = int(state.step)
+    log.info("latent training (%s, %s) from step %d", preset,
+             parameterization, start)
+
+    uc = (None if uncond_context is None
+          else jnp.asarray(uncond_context, jnp.float32))
+    if cond_dropout and uc is None and unet_config.context_dim is not None:
+        # null context for CFG training: the empty-prompt embedding when a
+        # text encoder is wired, zeros otherwise (documented default)
+        uc = jnp.zeros((1, unet_config.context_dim))
+    step_fn = make_latent_train_step(
+        lambda p, z, t, c: unet.apply(p, z, t, None, c, deterministic=True),
+        tx, betas, encode_fn=encode_fn, parameterization=parameterization,
+        cond_dropout=cond_dropout, uncond_context=uc)
+    step_fn = jax.jit(step_fn, donate_argnums=0)
+
+    for step in range(start, max_steps):
+        batch = next(data_iter)
+        if isinstance(batch, (tuple, list)):
+            images, context = batch
+            context = jnp.asarray(context)
+        else:
+            images, context = batch, None
+        if context is None and unet_config.context_dim is not None:
+            # unconditional training of a conditional UNet: every sample
+            # gets the null-context row (uncond_context or zeros)
+            b = np.shape(images)[0]
+            row = (uc if uc is not None
+                   else jnp.zeros((1, unet_config.context_dim)))
+            context = jnp.broadcast_to(row[None], (b,) + row.shape)
+        state, metrics = step_fn(state, vae_params, jnp.asarray(images),
+                                 context, rng)
+        if step % log_freq == 0:
+            log.info("step %d loss %.5g", step, float(metrics["loss"]))
+        if step and step % snapshot_freq_for_preemption == 0:
+            meta.save(step, state)
+        if step and step % snapshot_freq == 0:
+            ckpts.save(step, state)
+    return state

@@ -131,3 +131,48 @@ def test_cond_dropout_uses_uncond_context():
 
     with pytest.raises(ValueError):
         make_latent_train_step(apply, tx, BETAS, cond_dropout=0.1)
+
+
+def test_train_latent_loop_and_cli_resume(tmp_path):
+    """run_lib.train_latent: trains, meta-checkpoints, resumes; the CLI
+    `train-latent --tiny` drives the same loop from an npz."""
+    import numpy as np
+
+    from dpm_solver_tpu import cli, run_lib
+    from dpm_solver_tpu.models.adm_unet import ADMConfig
+    from dpm_solver_tpu.models.vae import VAEConfig
+
+    ucfg = ADMConfig(image_size=8, in_channels=4, model_channels=32,
+                     out_channels=4, num_res_blocks=1,
+                     attention_resolutions=(2,), channel_mult=(1, 2),
+                     num_heads=2, use_spatial_transformer=True,
+                     transformer_depth=1, context_dim=16)
+    vcfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=4,
+                     embed_dim=4, resolution=16)
+    rs = np.random.default_rng(0)
+
+    def it():
+        while True:
+            yield (rs.standard_normal((2, 16, 16, 3)).astype(np.float32) * .5,
+                   rs.standard_normal((2, 3, 16)).astype(np.float32))
+
+    wd = tmp_path / "run"
+    st = run_lib.train_latent("sd_v1", it(), workdir=str(wd),
+                              unet_config=ucfg, vae_config=vcfg,
+                              max_steps=3, log_freq=1,
+                              snapshot_freq_for_preemption=2,
+                              snapshot_freq=100)
+    assert int(st.step) == 3
+    # resume restores the meta checkpoint (step 2) and continues to 4
+    st2 = run_lib.train_latent("sd_v1", it(), workdir=str(wd),
+                               unet_config=ucfg, vae_config=vcfg,
+                               max_steps=4, log_freq=1,
+                               snapshot_freq_for_preemption=100,
+                               snapshot_freq=100)
+    assert int(st2.step) == 4
+
+    npz = tmp_path / "data.npz"
+    np.savez(npz, images=(rs.random((6, 16, 16, 3)) * 255).astype(np.uint8))
+    cli.main(["train-latent", "--tiny", "--data-path", str(npz),
+              "--workdir", str(tmp_path / "cli_run"), "--max-steps", "2",
+              "--batch-size", "2", "--log-freq", "1"])
