@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dpm_solver_tpu.ops.conv3x3 import Conv3x3
+from dpm_solver_tpu.ops.conv3x3 import conv3x3 as conv3x3_op
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,7 +169,7 @@ class VAEDecoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, z, *, deterministic=True):
+    def __call__(self, z, *, deterministic=True, return_trunk=False):
         cfg = self.config
         dt = self.dtype
         levels = len(cfg.ch_mult)
@@ -193,8 +194,22 @@ class VAEDecoder(nn.Module):
                     h = Conv3x3(c, dtype=dt, name=f"up_{i}_upsample")(h)
                 res *= 2
         h = _swish(_norm("norm_out")(h))
+        if return_trunk:
+            # Adversarial training splits here: the caller re-applies
+            # `decoder_epilogue` as a function of conv_out's params so the
+            # adaptive GAN weight (contperceptual.py:32-43) costs one conv
+            # backward, not a decoder backward.
+            return h
         h = Conv3x3(cfg.out_ch, dtype=dt, name="conv_out")(h)
         return jnp.tanh(h) if cfg.tanh_out else h
+
+
+def decoder_epilogue(conv_out_params, h, *, tanh_out=False):
+    """Final decoder conv as a pure function of its params (see
+    `VAEDecoder.__call__(return_trunk=True)`)."""
+    out = conv3x3_op(h, conv_out_params["kernel"],
+                     conv_out_params.get("bias"))
+    return jnp.tanh(out) if tanh_out else out
 
 
 class DiagonalGaussian(NamedTuple):
@@ -264,6 +279,17 @@ class AutoencoderKL(nn.Module):
         posterior = self.encode(x, deterministic=deterministic)
         z = posterior.sample(rng) if sample_posterior else posterior.mode()
         return self.decode(z, deterministic=deterministic), posterior
+
+    def forward_trunk(self, x, rng=None, *, sample_posterior=True,
+                      deterministic=True):
+        """Training forward split at the decoder's final conv: returns
+        (pre-conv_out activations, posterior). Pair with
+        `decoder_epilogue(params['decoder']['conv_out'], h)`."""
+        posterior = self.encode(x, deterministic=deterministic)
+        z = posterior.sample(rng) if sample_posterior else posterior.mode()
+        h = self.decoder(self.post_quant_conv(z), return_trunk=True,
+                         deterministic=deterministic)
+        return h, posterior
 
 
 def convert_autoencoder_kl(state_dict, config: VAEConfig) -> dict:
@@ -408,6 +434,15 @@ class VQModel(nn.Module):
         rec = self.decoder(self.post_quant_conv(z_q),
                            deterministic=deterministic)
         return rec, loss, idx
+
+    def forward_trunk(self, x, *, deterministic=True):
+        """Training forward split at the decoder's final conv: returns
+        (pre-conv_out activations, codebook_loss, indices)."""
+        h = self.encode(x, deterministic=deterministic)
+        z_q, loss, idx = self.quantize(h)
+        trunk = self.decoder(self.post_quant_conv(z_q), return_trunk=True,
+                             deterministic=deterministic)
+        return trunk, loss, idx
 
 
 def convert_vq_model(state_dict, config: VAEConfig) -> dict:
