@@ -58,14 +58,39 @@ class LatentDiffusion:
     betas: np.ndarray = dataclasses.field(default_factory=make_ldm_betas)
     scale_factor: float = 0.18215
     parameterization: str = "eps"  # eps | v (SD-2.1 is v-prediction)
+    conditioning_key: str = "crossattn"  # crossattn|concat|hybrid|adm|none
 
     @property
     def alphas_cumprod(self) -> np.ndarray:
         return np.cumprod(1.0 - self.betas)
 
-    def apply_model(self, x, t, context):
-        """eps-prediction on latents; t are discrete labels in [0, N)."""
-        return self.unet.apply(self.unet_params, x, t, None, context,
+    def apply_model(self, x, t, cond):
+        """Prediction on latents; t are discrete labels in [0, N).
+
+        DiffusionWrapper twin (ddpm.py:1396-1416): `cond` is either a raw
+        cross-attention context array (the txt2img fast path) or a dict
+        with any of `c_concat` (channel-concatenated onto x — the SR /
+        inpainting LDMs), `c_crossattn` (context), `c_adm` (class vector),
+        each an array or list of arrays.
+        """
+        if cond is None:
+            cond = {}
+        elif not isinstance(cond, dict):
+            cond = ({"c_concat": cond} if self.conditioning_key == "concat"
+                    else {"c_crossattn": cond})
+
+        def _as_list(v):
+            return list(v) if isinstance(v, (list, tuple)) else [v]
+
+        xc = x
+        if cond.get("c_concat") is not None:
+            xc = jnp.concatenate([x] + _as_list(cond["c_concat"]), axis=-1)
+        context = None
+        if cond.get("c_crossattn") is not None:
+            ca = _as_list(cond["c_crossattn"])
+            context = ca[0] if len(ca) == 1 else jnp.concatenate(ca, axis=1)
+        y = cond.get("c_adm")
+        return self.unet.apply(self.unet_params, xc, t, y, context,
                                deterministic=True)
 
     def get_learned_conditioning(self, prompts):
@@ -327,6 +352,33 @@ class StableDiffusionPipeline:
                         0.0, 1.0)
         orig = jnp.clip((init_image + 1.0) / 2.0, 0.0, 1.0)
         return (1.0 - mask) * orig + mask * pred
+
+    def upscale(self, lr_image, *, steps: int = 50, rng=None,
+                order: int = 2, cond_encode: Optional[Callable] = None):
+        """Blind super-resolution with a concat-conditioned LDM (the bsr-sr
+        models: conditioning_key 'concat', identity cond stage — the LR
+        image is channel-concatenated onto z_t at every step; latent
+        spatial size equals the LR size for the f=4 first stage, so output
+        is LR * vae_factor).
+
+        Args:
+          lr_image: [B,h,w,3] in [-1,1] (e.g. from
+            `data.superres_example`'s LR output).
+          cond_encode: optional LR -> conditioning map for models whose
+            cond stage is not the identity.
+        """
+        model = self.model
+        assert model.conditioning_key in ("concat", "hybrid"), \
+            "upscale needs a concat-conditioned LDM"
+        b, h, w = lr_image.shape[:3]
+        c = lr_image if cond_encode is None else cond_encode(lr_image)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        latents, _ = self.sampler.sample(
+            steps, b, (h, w, model.vae.config.z_channels),
+            {"c_concat": c}, unconditional_guidance_scale=1.0,
+            rng=rng, order=order, return_intermediate=False)
+        img = model.decode_first_stage(latents)
+        return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
 
 
 _LDM_PRESETS = {
