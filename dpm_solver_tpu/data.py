@@ -499,3 +499,131 @@ def superres_dataset(path: str, *, size: int, batch_size: int,
                 return
 
     return gen()
+
+
+# ------------------------------------------------------- TFDS on-disk reader
+
+
+def _tfds_locate(data_dir: str, name: Optional[str], split: str):
+    """Resolve a TFDS directory (data_dir[/name]/version) and its split
+    shard files + feature spec, without tensorflow_datasets installed."""
+    import json
+
+    root = data_dir
+    if name is not None and os.path.isdir(os.path.join(data_dir, name)):
+        root = os.path.join(data_dir, name)
+    # descend config/version directories until dataset_info.json appears
+    for _ in range(3):
+        if os.path.exists(os.path.join(root, "dataset_info.json")):
+            break
+        subs = sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)))
+        if not subs:
+            break
+        root = os.path.join(root, subs[-1])  # latest version sorts last
+    info_path = os.path.join(root, "dataset_info.json")
+    if not os.path.exists(info_path):
+        raise FileNotFoundError(f"no dataset_info.json under {data_dir}")
+    with open(info_path) as f:
+        info = json.load(f)
+    ds_name = info.get("name", name or "dataset")
+    splits = {s["name"]: s for s in info.get("splits", [])}
+    if split not in splits:
+        raise ValueError(f"split {split!r} not in {sorted(splits)}")
+    n_shards = len(splits[split].get("shardLengths", [])) or 1
+    template = splits[split].get(
+        "filepathTemplate",
+        "{DATASET}-{SPLIT}.{FILEFORMAT}-{SHARD_X_OF_Y}")
+    files = []
+    for i in range(n_shards):
+        fname = (template
+                 .replace("{DATASET}", ds_name)
+                 .replace("{SPLIT}", split)
+                 .replace("{FILEFORMAT}", "tfrecord")
+                 .replace("{SHARD_X_OF_Y}", f"{i:05d}-of-{n_shards:05d}"))
+        files.append(os.path.join(root, fname))
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(f"missing shards, e.g. {missing[0]}")
+
+    feat_path = os.path.join(root, "features.json")
+    image_key, label_key = "image", None
+    if os.path.exists(feat_path):
+        with open(feat_path) as f:
+            feats = json.load(f)
+        # TFDS nests the mapping as [content ->] featuresDict -> features
+        # (older versions flatten differently); walk to the leaf dict
+        content = feats.get("content", feats)
+        if "featuresDict" in content:
+            content = content["featuresDict"]
+        if "features" in content:
+            content = content["features"]
+        if "featuresDict" in content:
+            content = content["featuresDict"].get("features", {})
+        if not isinstance(content, dict):
+            content = {}
+        for key, spec in content.items():
+            kind = json.dumps(spec)
+            if "Image" in kind and image_key == "image":
+                image_key = key
+            if "ClassLabel" in kind:
+                label_key = key
+    return files, image_key, label_key
+
+
+def tfds_dataset(data_dir: str, *, name: Optional[str] = None,
+                 split: str = "train", resolution: int = 0,
+                 batch_size: int = 128,
+                 uniform_dequantization: bool = False,
+                 centered: bool = False, random_flip: bool = False,
+                 shuffle: bool = True, repeat: bool = True, seed: int = 0,
+                 transform: Optional[str] = None, with_labels: bool = False):
+    """Read a prepared tensorflow_datasets directory WITHOUT the tfds
+    package (zero-egress twin of the reference's `tfds.builder(...)` +
+    `as_dataset` path, score_sde_jax/datasets.py:103-199): locates the
+    version dir, parses dataset_info.json / features.json, decodes the
+    encoded-image Example records, and applies the same preprocessing
+    surface as the other pipelines here (`transform` selects the
+    dataset-specific geometry twin, e.g. 'celeba_scoresde' / 'lsun')."""
+    import tensorflow as tf
+
+    tf.config.experimental.set_visible_devices([], "GPU")
+    files, image_key, label_key = _tfds_locate(data_dir, name, split)
+    ds = tf.data.TFRecordDataset(files)
+    if repeat:
+        ds = ds.repeat()
+    if shuffle:
+        ds = ds.shuffle(10_000, seed=seed)
+    tf_fn = DATASET_TRANSFORMS.get(transform) if transform else None
+    if transform and tf_fn is None:
+        raise ValueError(f"unknown transform {transform!r}; "
+                         f"have {sorted(DATASET_TRANSFORMS)}")
+
+    def parse(record):
+        spec = {image_key: tf.io.FixedLenFeature([], tf.string)}
+        if label_key:
+            spec[label_key] = tf.io.FixedLenFeature([], tf.int64,
+                                                    default_value=-1)
+        ex = tf.io.parse_single_example(record, spec)
+        img = tf.image.decode_image(ex[image_key], channels=3,
+                                    expand_animations=False)
+        if tf_fn is not None:
+            img = tf.clip_by_value(tf_fn(img, resolution), 0.0, 1.0)
+        else:
+            img = tf.image.convert_image_dtype(img, tf.float32)
+            if resolution:
+                img = tf.image.resize(img, (resolution, resolution),
+                                      antialias=True)
+        if random_flip:
+            img = tf.image.random_flip_left_right(img)
+        if uniform_dequantization:
+            img = (tf.random.uniform(tf.shape(img)) + img * 255.0) / 256.0
+        if centered:
+            img = img * 2.0 - 1.0
+        if with_labels and label_key:
+            return {"image": img, "label": ex[label_key]}
+        return img
+
+    ds = ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE)
+    return ds.batch(batch_size, drop_remainder=True).prefetch(tf.data.AUTOTUNE)
