@@ -310,6 +310,60 @@ def cmd_train(args):
     print(f"finished at step {int(state.step)}")
 
 
+def cmd_train_ae(args):
+    """First-stage adversarial training (LPIPS + PatchGAN two-optimizer
+    loop; ref main.py + ldm/models/autoencoder.py training_step)."""
+    import numpy as np
+
+    from dpm_solver_tpu.run_lib import train_autoencoder
+    from dpm_solver_tpu.training import perceptual as P
+
+    data = np.load(args.data_path)
+    images = np.asarray(data["images"] if "images" in data else data)
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 127.5 - 1.0
+
+    rs = np.random.default_rng(0)
+
+    def batches():
+        n = images.shape[0]
+        while True:
+            yield images[rs.integers(0, n, size=args.batch_size)]
+
+    vae_config = None
+    disc_kw = dict(disc_ndf=args.disc_ndf, disc_n_layers=args.disc_n_layers)
+    if args.tiny:
+        from dpm_solver_tpu.models.vae import VAEConfig
+
+        vae_config = VAEConfig.tiny(resolution=images.shape[1],
+                                    attn_resolutions=(),
+                                    double_z=(args.kind == "kl"))
+        disc_kw = dict(disc_ndf=8, disc_n_layers=2)
+    cfg_cls = P.KLLossConfig if args.kind == "kl" else P.VQLossConfig
+    loss_config = cfg_cls(disc_start=args.disc_start,
+                          perceptual_weight=args.perceptual_weight)
+
+    lpips_params = None
+    if args.lpips_ckpt:
+        import torch
+
+        from dpm_solver_tpu.models.lpips import convert_torch_lpips
+
+        sd = torch.load(args.lpips_ckpt, map_location="cpu",
+                        weights_only=False)
+        lpips_params = convert_torch_lpips(
+            sd.get("state_dict", sd) if isinstance(sd, dict) else sd)
+
+    state = train_autoencoder(
+        batches(), workdir=args.workdir, kind=args.kind,
+        vae_config=vae_config, loss_config=loss_config,
+        lpips_params=lpips_params, lr=args.lr, max_steps=args.max_steps,
+        log_freq=args.log_freq, snapshot_freq=args.snapshot_freq,
+        snapshot_freq_for_preemption=args.snapshot_freq_for_preemption,
+        image_freq=args.image_freq, **disc_kw)
+    print(f"finished at step {int(state.step)}")
+
+
 def cmd_train_latent(args):
     """LDM training / fine-tuning: frozen first stage, UNet trains
     (ref main.py Lightning harness -> run_lib.train_latent plain loop)."""
@@ -670,6 +724,33 @@ def main(argv=None):
     tp.add_argument("--batch-size", type=int, default=None,
                     help="override the config's training batch size")
     tp.set_defaults(fn=cmd_train)
+
+    ta = sub.add_parser("train-ae",
+                        help="first-stage autoencoder training "
+                             "(LPIPS + PatchGAN adversarial loop)")
+    ta.add_argument("--kind", default="kl", choices=("kl", "vq"))
+    ta.add_argument("--workdir", default="./workdir")
+    ta.add_argument("--data-path", required=True,
+                    help="npz/npy with 'images' [N,H,W,3] (uint8 or "
+                         "[-1,1] float)")
+    ta.add_argument("--tiny", action="store_true",
+                    help="shrunken geometry (hermetic smoke)")
+    ta.add_argument("--batch-size", type=int, default=4)
+    ta.add_argument("--max-steps", type=int, default=1000)
+    ta.add_argument("--lr", type=float, default=4.5e-6)
+    ta.add_argument("--disc-start", type=int, default=50_001)
+    ta.add_argument("--disc-ndf", type=int, default=64)
+    ta.add_argument("--disc-n-layers", type=int, default=3)
+    ta.add_argument("--perceptual-weight", type=float, default=1.0)
+    ta.add_argument("--lpips-ckpt", default=None,
+                    help="torch LPIPS/VGG state dict to convert")
+    ta.add_argument("--image-freq", type=int, default=0,
+                    help="dump input|recon grids every N steps")
+    ta.add_argument("--log-freq", type=int, default=50)
+    ta.add_argument("--snapshot-freq", type=int, default=10_000)
+    ta.add_argument("--snapshot-freq-for-preemption", type=int,
+                    default=1_000)
+    ta.set_defaults(fn=cmd_train_ae)
 
     tl = sub.add_parser("train-latent",
                         help="latent-diffusion training: frozen first "

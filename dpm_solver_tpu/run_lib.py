@@ -476,3 +476,126 @@ def train_latent(preset: str, data_iter: Iterator, *,
         if step and step % snapshot_freq == 0:
             ckpts.save(step, state)
     return state
+
+
+def train_autoencoder(data_iter: Iterator, *,
+                      workdir: str,
+                      kind: str = "kl",
+                      vae_config=None,
+                      n_embed: int = 16384,
+                      loss_config=None,
+                      disc_ndf: int = 64, disc_n_layers: int = 3,
+                      use_actnorm: bool = False,
+                      lpips_params=None,
+                      lr: float = 4.5e-6,
+                      max_steps: int = 1000, log_freq: int = 50,
+                      snapshot_freq: int = 10_000,
+                      snapshot_freq_for_preemption: int = 1_000,
+                      image_freq: int = 0,
+                      seed: int = 0):
+    """First-stage (AutoencoderKL / VQModel) adversarial training loop.
+
+    TPU-native twin of the reference's autoencoder training — the
+    PyTorch-Lightning harness (examples/stable-diffusion/main.py) driving
+    `AutoencoderKL.training_step`'s two optimizers with the
+    LPIPSWithDiscriminator / VQLPIPSWithDiscriminator losses. Here: one
+    jitted step runs both optimizer passes (training/autoencoder.py),
+    checkpoints are preemption-safe (restore-or-init + meta snapshots),
+    and `image_freq` dumps input|reconstruction grids — the ImageLogger
+    callback's role (main.py:289-394) — under workdir/recon.
+
+    Args:
+      data_iter: yields image batches [B,H,W,3] in [-1,1].
+      kind: 'kl' | 'vq'.
+      loss_config: training.perceptual.{KLLossConfig,VQLossConfig}
+        (defaults: disc_start=0 with the reference's default weights).
+      lpips_params: LPIPS variables from `models.lpips.convert_torch_lpips`
+        (published weights) — random-init is used when None (valid as a
+        random-feature perceptual metric, but load real weights for
+        production parity); ignored when perceptual_weight == 0.
+    """
+    from dpm_solver_tpu.models.discriminator import NLayerDiscriminator
+    from dpm_solver_tpu.models.lpips import LPIPS
+    from dpm_solver_tpu.models.vae import AutoencoderKL, VAEConfig, VQModel
+    from dpm_solver_tpu.training import perceptual as P
+    from dpm_solver_tpu.training.autoencoder import (
+        bind_autoencoder,
+        make_adversarial_state,
+        make_kl_train_step,
+        make_vq_train_step,
+    )
+    from dpm_solver_tpu.utils.logging import save_image_grid
+
+    if kind not in ("kl", "vq"):
+        raise ValueError(f"kind must be 'kl' or 'vq', got {kind!r}")
+    is_kl = kind == "kl"
+    if vae_config is None:
+        vae_config = (VAEConfig.sd_v1() if is_kl else VAEConfig.vq_cin256())
+    if loss_config is None:
+        loss_config = P.KLLossConfig() if is_kl else P.VQLossConfig()
+
+    rng = jax.random.PRNGKey(seed)
+    rng, rng_m, rng_d, rng_l = jax.random.split(rng, 4)
+    res = vae_config.resolution
+    x0 = jnp.zeros((1, res, res, vae_config.in_channels))
+    if is_kl:
+        model = AutoencoderKL(config=vae_config)
+        ae_params = jax.jit(lambda: model.init(rng_m, x0, rng_m))()["params"]
+    else:
+        model = VQModel(config=vae_config, n_embed=n_embed)
+        ae_params = jax.jit(lambda: model.init(rng_m, x0))()["params"]
+    disc = NLayerDiscriminator(ndf=disc_ndf, n_layers=disc_n_layers,
+                               use_actnorm=use_actnorm)
+    disc_vars = jax.jit(lambda: disc.init(rng_d, x0))()
+    lpips = LPIPS()
+    if lpips_params is None and loss_config.perceptual_weight > 0:
+        log.warning("train_autoencoder: random-init LPIPS (no weights "
+                    "supplied) — convert published weights for parity")
+        lpips_params = jax.jit(lambda: lpips.init(rng_l, x0, x0))()
+    fns = bind_autoencoder(model, disc, lpips)
+
+    state, tx = make_adversarial_state(ae_params, disc_vars, lr=lr)
+    maker = make_kl_train_step if is_kl else make_vq_train_step
+    extra = {} if is_kl else {"n_embed": n_embed}
+    step_fn = jax.jit(maker(loss_config, tx=tx, **fns, **extra),
+                      donate_argnums=0)
+
+    recon_fn = None
+    if image_freq:
+        if is_kl:
+            recon_fn = jax.jit(lambda p, x: model.apply(
+                {"params": p}, x, jax.random.PRNGKey(0))[0])
+        else:
+            recon_fn = jax.jit(lambda p, x: model.apply(
+                {"params": p}, x)[0])
+
+    ckpts = CheckpointManager(os.path.join(workdir, "checkpoints"),
+                              max_to_keep=5)
+    meta = CheckpointManager(os.path.join(workdir, "checkpoints-meta"),
+                             max_to_keep=1)
+    state = restore_or_init(meta, state)
+    start = int(state.step)
+    log.info("autoencoder training (%s, %dpx) from step %d", kind, res,
+             start)
+
+    for step in range(start, max_steps):
+        images = jnp.asarray(next(data_iter))
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, images, sub, lpips_params)
+        if step % log_freq == 0:
+            log.info(
+                "step %d nll %.5g disc %.5g", step,
+                float(metrics.get("train/nll_loss", jnp.nan)),
+                float(metrics.get("train/disc_loss", jnp.nan)))
+        if image_freq and step % image_freq == 0 and recon_fn is not None:
+            recon = recon_fn(state.gen_params["ae"], images)
+            pair = np.concatenate([np.asarray(images), np.asarray(recon)],
+                                  axis=2)  # input | recon side by side
+            save_image_grid(
+                np.clip((pair + 1.0) / 2.0, 0.0, 1.0),
+                os.path.join(workdir, "recon", f"recon_{step:07d}.png"))
+        if step and step % snapshot_freq_for_preemption == 0:
+            meta.save(step, state)
+        if step and step % snapshot_freq == 0:
+            ckpts.save(step, state)
+    return state

@@ -103,3 +103,50 @@ def test_kl_logvar_is_trained():
     assert float(state.gen_params["logvar"]) == pytest.approx(0.3)
     state, _ = step(state, x, jax.random.PRNGKey(0), lp_params)
     assert float(state.gen_params["logvar"]) != pytest.approx(0.3)
+
+
+def test_run_lib_train_autoencoder_resume_and_images(tmp_path):
+    """Preemption-safe first-stage loop + ImageLogger-equivalent grids +
+    CLI smoke (ref main.py harness semantics)."""
+    import os
+
+    from dpm_solver_tpu.models.vae import VAEConfig
+    from dpm_solver_tpu.run_lib import train_autoencoder
+    from dpm_solver_tpu.training.perceptual import KLLossConfig
+
+    rng = np.random.default_rng(0)
+
+    def gen():
+        while True:
+            yield rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+
+    batches = gen()
+    cfg = VAEConfig.tiny(resolution=16, attn_resolutions=())
+    kw = dict(workdir=str(tmp_path), kind="kl", vae_config=cfg,
+              loss_config=KLLossConfig(disc_start=1, perceptual_weight=0.0),
+              disc_ndf=8, disc_n_layers=2, lr=1e-4,
+              snapshot_freq_for_preemption=2, snapshot_freq=100,
+              image_freq=3, log_freq=2)
+    state = train_autoencoder(gen(), max_steps=4, **kw)
+    assert int(state.step) == 4
+    # resumes from the step-2 meta checkpoint, continues to 5
+    state2 = train_autoencoder(batches, max_steps=5, **kw)
+    assert int(state2.step) == 5
+    recon = os.path.join(str(tmp_path), "recon")
+    assert any(f.endswith(".png") for f in os.listdir(recon))
+
+
+def test_cli_train_ae_tiny(tmp_path, capsys):
+    from dpm_solver_tpu import cli
+
+    rng = np.random.default_rng(1)
+    npz = tmp_path / "data.npz"
+    np.savez(npz, images=(rng.random((8, 16, 16, 3)) * 255)
+             .astype(np.uint8))
+    cli.main(["train-ae", "--tiny", "--kind", "vq",
+              "--data-path", str(npz),
+              "--workdir", str(tmp_path / "wd"),
+              "--batch-size", "2", "--max-steps", "2",
+              "--disc-start", "0", "--perceptual-weight", "0.5",
+              "--log-freq", "1"])
+    assert "finished at step 2" in capsys.readouterr().out
