@@ -509,19 +509,30 @@ def _tfds_locate(data_dir: str, name: Optional[str], split: str):
     shard files + feature spec, without tensorflow_datasets installed."""
     import json
 
+    def _version_key(d):
+        # numeric-aware so 10.0.0 beats 9.0.0 (plain sort would not)
+        parts = d.split(".")
+        if all(p.isdigit() for p in parts):
+            return (1, tuple(int(p) for p in parts))
+        return (0, d)
+
     root = data_dir
     if name is not None and os.path.isdir(os.path.join(data_dir, name)):
         root = os.path.join(data_dir, name)
     # descend config/version directories until dataset_info.json appears
-    for _ in range(3):
+    for depth in range(3):
         if os.path.exists(os.path.join(root, "dataset_info.json")):
             break
         subs = sorted(
-            d for d in os.listdir(root)
-            if os.path.isdir(os.path.join(root, d)))
+            (d for d in os.listdir(root)
+             if os.path.isdir(os.path.join(root, d))), key=_version_key)
         if not subs:
             break
-        root = os.path.join(root, subs[-1])  # latest version sorts last
+        if depth == 0 and name is None and len(subs) > 1 \
+                and not all(s[0].isdigit() for s in subs):
+            raise ValueError(f"ambiguous TFDS dir {data_dir}: "
+                             f"pass name= (candidates: {subs})")
+        root = os.path.join(root, subs[-1])  # latest version
     info_path = os.path.join(root, "dataset_info.json")
     if not os.path.exists(info_path):
         raise FileNotFoundError(f"no dataset_info.json under {data_dir}")
@@ -590,6 +601,9 @@ def tfds_dataset(data_dir: str, *, name: Optional[str] = None,
 
     tf.config.experimental.set_visible_devices([], "GPU")
     files, image_key, label_key = _tfds_locate(data_dir, name, split)
+    if with_labels and label_key is None:
+        raise ValueError("with_labels=True but no ClassLabel feature "
+                         "detected in features.json")
     ds = tf.data.TFRecordDataset(files)
     if repeat:
         ds = ds.repeat()

@@ -43,33 +43,29 @@ def _bn_scale_init(key, shape, dtype=jnp.float32):
 
 
 class ActNorm(nn.Module):
-    """Per-channel affine with data-dependent initialization (Glow).
+    """Per-channel affine `scale * (x + loc)` (Glow), the taming `ActNorm`
+    the discriminator uses when `use_actnorm=True` (logdet unused here).
 
-    Twin of taming's `ActNorm` as used by the discriminator (logdet unused).
-    Call `init_from_batch` on the first batch to set loc/scale to the
-    batch's per-channel mean / inverse-std, as the torch version does
-    lazily on first forward.
+    taming initializes loc/scale lazily from the first batch; JAX params
+    are explicit, so use `actnorm_stats_from_batch` on each norm's input
+    activations and write the results into the param tree before training
+    (identity init otherwise).
     """
-
-    epsilon: float = 1e-6
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         loc = self.param("loc", nn.initializers.zeros, (c,), jnp.float32)
-        log_scale = self.param("log_scale", nn.initializers.zeros, (c,),
-                               jnp.float32)
-        return (x - loc) * jnp.exp(log_scale)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        return scale * (x + loc)
 
 
 def actnorm_stats_from_batch(x, epsilon=1e-6):
-    """Return (loc, log_scale) implementing torch ActNorm's lazy init:
-    loc = per-channel mean, scale = 1/(std + eps)."""
+    """(loc, scale) matching torch ActNorm's lazy init on a batch:
+    loc = -per-channel mean, scale = 1/(std + eps)."""
     x = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
-    mean = jnp.mean(x, axis=axes)
-    std = jnp.std(x, axis=axes)
-    return mean, -jnp.log(std + epsilon)
+    return -jnp.mean(x, axis=axes), 1.0 / (jnp.std(x, axis=axes) + epsilon)
 
 
 class NLayerDiscriminator(nn.Module):
@@ -109,10 +105,10 @@ class NLayerDiscriminator(nn.Module):
 def convert_torch_discriminator(state_dict, n_layers: int = 3) -> dict:
     """taming `NLayerDiscriminator.main.{i}.*` state dict -> our trees.
 
-    Returns {'params': ..., 'batch_stats': ...}. Torch Sequential indices:
-    conv0 at 0, LeakyReLU at 1, then per block n: conv at 3n-1... computed
-    directly below from the layer pattern (conv,relu, [conv,bn,relu]*L,
-    conv).
+    Returns {'params': ..., 'batch_stats': ...} (batch_stats empty for
+    ActNorm checkpoints, which store per-channel loc/scale instead of
+    BatchNorm weight/bias/running moments). Torch Sequential indices
+    follow the layer pattern (conv, relu, [conv, norm, relu]*L, conv).
     """
 
     def conv(i):
@@ -127,14 +123,27 @@ def convert_torch_discriminator(state_dict, n_layers: int = 3) -> dict:
     i = 2
     for n in range(1, n_layers + 1):
         params[f"conv{n}"] = conv(i)
-        params[f"norm{n}"] = {
-            "scale": jnp.asarray(np.asarray(state_dict[f"main.{i + 1}.weight"])),
-            "bias": jnp.asarray(np.asarray(state_dict[f"main.{i + 1}.bias"])),
-        }
-        stats[f"norm{n}"] = {
-            "mean": jnp.asarray(np.asarray(state_dict[f"main.{i + 1}.running_mean"])),
-            "var": jnp.asarray(np.asarray(state_dict[f"main.{i + 1}.running_var"])),
-        }
+        if f"main.{i + 1}.running_mean" in state_dict:  # BatchNorm
+            params[f"norm{n}"] = {
+                "scale": jnp.asarray(
+                    np.asarray(state_dict[f"main.{i + 1}.weight"])),
+                "bias": jnp.asarray(
+                    np.asarray(state_dict[f"main.{i + 1}.bias"])),
+            }
+            stats[f"norm{n}"] = {
+                "mean": jnp.asarray(
+                    np.asarray(state_dict[f"main.{i + 1}.running_mean"])),
+                "var": jnp.asarray(
+                    np.asarray(state_dict[f"main.{i + 1}.running_var"])),
+            }
+        else:  # ActNorm: loc/scale shaped (1, C, 1, 1)
+            params[f"norm{n}"] = {
+                "loc": jnp.asarray(
+                    np.asarray(state_dict[f"main.{i + 1}.loc"]).reshape(-1)),
+                "scale": jnp.asarray(
+                    np.asarray(state_dict[f"main.{i + 1}.scale"])
+                    .reshape(-1)),
+            }
         i += 3
     params["conv_out"] = conv(i)
     return {"params": params, "batch_stats": stats}

@@ -204,11 +204,15 @@ class VAEDecoder(nn.Module):
         return jnp.tanh(h) if cfg.tanh_out else h
 
 
-def decoder_epilogue(conv_out_params, h, *, tanh_out=False):
+def decoder_epilogue(conv_out_params, h, *, tanh_out=False,
+                     dtype=jnp.float32):
     """Final decoder conv as a pure function of its params (see
-    `VAEDecoder.__call__(return_trunk=True)`)."""
-    out = conv3x3_op(h, conv_out_params["kernel"],
-                     conv_out_params.get("bias"))
+    `VAEDecoder.__call__(return_trunk=True)`). `dtype` must match the
+    decoder's compute dtype so the split path is bit-identical to
+    `decode` (Conv3x3 casts activations and bias, kernel stays fp32)."""
+    bias = conv_out_params.get("bias")
+    out = conv3x3_op(h.astype(dtype), conv_out_params["kernel"],
+                     None if bias is None else bias.astype(dtype))
     return jnp.tanh(out) if tanh_out else out
 
 

@@ -354,7 +354,8 @@ class StableDiffusionPipeline:
         return (1.0 - mask) * orig + mask * pred
 
     def upscale(self, lr_image, *, steps: int = 50, rng=None,
-                order: int = 2, cond_encode: Optional[Callable] = None):
+                order: int = 2, cond_encode: Optional[Callable] = None,
+                context=None):
         """Blind super-resolution with a concat-conditioned LDM (the bsr-sr
         models: conditioning_key 'concat', identity cond stage — the LR
         image is channel-concatenated onto z_t at every step; latent
@@ -370,12 +371,18 @@ class StableDiffusionPipeline:
         model = self.model
         assert model.conditioning_key in ("concat", "hybrid"), \
             "upscale needs a concat-conditioned LDM"
+        if model.conditioning_key == "hybrid" and context is None:
+            raise ValueError("hybrid-conditioned model: pass `context` "
+                             "(cross-attention conditioning) to upscale")
         b, h, w = lr_image.shape[:3]
         c = lr_image if cond_encode is None else cond_encode(lr_image)
+        cond = {"c_concat": c}
+        if context is not None:
+            cond["c_crossattn"] = context
         rng = jax.random.PRNGKey(0) if rng is None else rng
         latents, _ = self.sampler.sample(
             steps, b, (h, w, model.vae.config.z_channels),
-            {"c_concat": c}, unconditional_guidance_scale=1.0,
+            cond, unconditional_guidance_scale=1.0,
             rng=rng, order=order, return_intermediate=False)
         img = model.decode_first_stage(latents)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
@@ -399,7 +406,9 @@ def load_sd_checkpoint(path_or_state_dict, *,
                        unet_config: Optional[ADMConfig] = None,
                        vae_config: Optional[VAEConfig] = None,
                        text_encode: Optional[Callable] = None,
-                       parameterization: Optional[str] = None) -> LatentDiffusion:
+                       parameterization: Optional[str] = None,
+                       conditioning_key: Optional[str] = None
+                       ) -> LatentDiffusion:
     """Build a LatentDiffusion from a CompVis checkpoint: routes
     `model.diffusion_model.*` through convert_adm_unet and
     `first_stage_model.*` through the KL or VQ converter (auto-detected from
@@ -443,11 +452,21 @@ def load_sd_checkpoint(path_or_state_dict, *,
         # SD-2.x checkpoints (linear transformer projections) are v-prediction
         parameterization = ("v" if unet_config.use_linear_in_transformer
                             else "eps")
+    if conditioning_key is None:
+        # UNet eating more channels than the latent has => concat
+        # conditioning (SR / inpainting LDMs; ddpm.py:442-443's
+        # concat_mode); hybrid when it also cross-attends
+        extra = unet_config.in_channels > vae_config.embed_dim
+        has_ctx = unet_config.context_dim is not None
+        conditioning_key = ("hybrid" if extra and has_ctx
+                           else "concat" if extra
+                           else "crossattn" if has_ctx else "none")
     return LatentDiffusion(
         unet=ADMUNet(config=unet_config), unet_params=unet_params,
         vae=vae, vae_params=vae_params,
         betas=make_ldm_betas(1000, **beta_kw), scale_factor=scale,
-        text_encode=text_encode, parameterization=parameterization)
+        text_encode=text_encode, parameterization=parameterization,
+        conditioning_key=conditioning_key)
 
 
 def class_conditional_sample(model: LatentDiffusion, class_embedder, labels,

@@ -73,12 +73,15 @@ def _disc_update(cfg, disc_apply, tx, state: AdversarialTrainState,
     """Optimizer-1 pass shared by the KL and VQ steps."""
 
     def d_loss_fn(dparams):
-        dvars = {"params": dparams, "batch_stats": state.disc_batch_stats}
+        # torch runs the real batch then the fake batch through the same
+        # BatchNorm layers, updating the running moments twice in sequence
+        # (contperceptual.py:94-104); thread the stats through both calls
         stats_box = {"stats": state.disc_batch_stats}
 
         def disc_fn(x):
+            dvars = {"params": dparams, "batch_stats": stats_box["stats"]}
             logits, new_stats = disc_apply(dvars, x)
-            stats_box["stats"] = new_stats
+            stats_box["stats"] = jax.lax.stop_gradient(new_stats)
             return logits
 
         out = P.discriminator_loss(cfg, disc_fn, images, recon, state.step)
@@ -187,7 +190,8 @@ def bind_autoencoder(model, discriminator, lpips):
 
     def epilogue(ae_params, kernel, h):
         conv_out = dict(ae_params["decoder"]["conv_out"], kernel=kernel)
-        return vae_mod.decoder_epilogue(conv_out, h, tanh_out=tanh_out)
+        return vae_mod.decoder_epilogue(conv_out, h, tanh_out=tanh_out,
+                                        dtype=model.dtype)
 
     def last_layer_of(ae_params):
         return ae_params["decoder"]["conv_out"]["kernel"]

@@ -280,8 +280,10 @@ def add_poisson_noise(img, rng):
     return np.clip(img, 0.0, 1.0)
 
 
-def add_jpeg_noise(img, rng, quality_min=80, quality_max=95):
-    """JPEG encode/decode round trip at random quality (bsrgan.py:422-428)."""
+def add_jpeg_noise(img, rng, quality_min=30, quality_max=95):
+    """JPEG encode/decode round trip at random quality. Full-strength
+    pipelines draw quality 30-95 (bsrgan.py:418-426); the light flavor
+    draws 80-95 (bsrgan_light.py:422-428)."""
     rng = _rng(rng)
     q = int(rng.integers(quality_min, quality_max + 1))
     u8 = np.uint8(np.clip(img * 255.0, 0, 255).round())
@@ -359,6 +361,7 @@ def degradation_bsrgan_variant(image: np.ndarray, sf: int = 4,
     blur slots, noise 2-25, resize_prob 0.75); `light=True` twins
     bsrgan_light.py:534-621 (one blur, noise 1-2, resize_prob 0.8)."""
     rng = _rng(rng)
+    jpeg_q = (80, 95) if light else (30, 95)
     img = image.astype(np.float32) / 255.0
     img = _mod_crop(img, sf)
     img, sf_run = _maybe_predownsample(img, rng, sf)
@@ -384,20 +387,26 @@ def degradation_bsrgan_variant(image: np.ndarray, sf: int = 4,
             img = add_gaussian_noise(img, rng, lo, hi)
         elif op == 5:
             if rng.random() < 0.9:
-                img = add_jpeg_noise(img, rng)
+                img = add_jpeg_noise(img, rng, *jpeg_q)
         # op 6 (camera ISP) requires an isp_model; disabled in the
         # reference variants too (bsrgan.py:611-615)
 
-    img = add_jpeg_noise(img, rng)
+    img = add_jpeg_noise(img, rng, *jpeg_q)
     return {"image": np.uint8(np.clip(img * 255.0, 0, 255).round())}
 
 
 def degradation_bsrgan(img: np.ndarray, sf: int = 4,
-                       lq_patchsize: int = 72, rng=None
+                       lq_patchsize: int = 72, rng=None, *,
+                       light: bool = False
                        ) -> Tuple[np.ndarray, np.ndarray]:
-    """Paired-patch pipeline (bsrgan_light.py:442-530 structure at full
-    strength): float [0,1] HWC in, (lq patch, hq patch) out."""
+    """Paired-patch pipeline: float [0,1] HWC in, (lq, hq patch) out.
+
+    `light=False` twins bsrgan.py::degradation_bsrgan (full blur widths,
+    noise 2-25, JPEG 30-95); `light=True` twins
+    bsrgan_light.py:442-530 (light blur widths, noise 2-8, JPEG 80-95).
+    """
     rng = _rng(rng)
+    jpeg_q = (80, 95) if light else (30, 95)
     sf_ori = sf
     img = _mod_crop(np.asarray(img, np.float32), sf)
     h, w = img.shape[:2]
@@ -410,7 +419,7 @@ def degradation_bsrgan(img: np.ndarray, sf: int = 4,
     a = b = None
     for op in _shuffled_order(rng):
         if op in (0, 1):
-            img = add_blur(img, rng, sf=sf_run)
+            img = add_blur(img, rng, sf=sf_run, light=light)
         elif op == 2:
             a, b = img.shape[1], img.shape[0]
             img = _downsample2(img, rng, sf_run, resize_prob=0.75)
@@ -420,12 +429,12 @@ def degradation_bsrgan(img: np.ndarray, sf: int = 4,
             img = np.clip(_resize(img, (int(a / sf_run), int(b / sf_run)),
                                   int(rng.choice(_INTERPS))), 0.0, 1.0)
         elif op == 4:
-            img = add_gaussian_noise(img, rng, 2, 8)
+            img = add_gaussian_noise(img, rng, 2, 8 if light else 25)
         elif op == 5:
             if rng.random() < 0.9:
-                img = add_jpeg_noise(img, rng)
+                img = add_jpeg_noise(img, rng, *jpeg_q)
 
-    img = add_jpeg_noise(img, rng)
+    img = add_jpeg_noise(img, rng, *jpeg_q)
     return paired_random_crop(img, hq, rng, sf_ori, lq_patchsize)
 
 

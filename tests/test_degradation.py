@@ -29,13 +29,19 @@ def ref():
     """Import the reference bsrgan_light with dependency shims."""
     if "albumentations" not in sys.modules:
         sys.modules["albumentations"] = types.ModuleType("albumentations")
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
+    # stub shape must match test_eval.py's guard (it checks only for the
+    # top-level "torchvision" key): register every submodule other
+    # reference imports touch
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    if not hasattr(tv, "utils"):
         tvu = types.ModuleType("torchvision.utils")
         tvu.make_grid = lambda *a, **k: None
         tv.utils = tvu
-        sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tvu
+    if not hasattr(tv, "transforms"):
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision.transforms"] = tv.transforms
+    sys.modules["torchvision"] = tv
     sys.path.insert(0, REF_DEG)
     try:
         import ldm.modules.image_degradation.bsrgan_light as ref_mod
@@ -191,3 +197,22 @@ def test_superres_example_contract():
                          min_crop_f=0.8, max_crop_f=0.8, center_crop=True,
                          rng=np.random.default_rng(1))
     np.testing.assert_allclose(a["image"], b["image"])
+
+
+def test_jpeg_quality_range_controls_strength():
+    # smooth gradient + mild texture: near-lossless at q=95, visibly
+    # blocked at q=10
+    yy, xx = np.mgrid[0:64, 0:64] / 64.0
+    img = np.stack([yy, xx, 0.5 + 0.2 * np.sin(8 * yy)], -1)
+    img = img.astype(np.float32)
+    low = D.add_jpeg_noise(img, np.random.default_rng(0), 10, 10)
+    high = D.add_jpeg_noise(img, np.random.default_rng(0), 95, 95)
+    assert np.abs(low - img).mean() > np.abs(high - img).mean() * 2
+
+
+def test_paired_light_flag():
+    rng = np.random.default_rng(13)
+    img = rng.random((128, 128, 3)).astype(np.float32)
+    lq, hq = D.degradation_bsrgan(img, sf=2, lq_patchsize=32,
+                                  rng=np.random.default_rng(3), light=True)
+    assert lq.shape == (32, 32, 3) and hq.shape == (64, 64, 3)

@@ -299,3 +299,78 @@ def test_discriminator_loss_matches_torch():
     out = P.discriminator_loss(cfg, dfn, jnp.asarray(inputs),
                                jnp.asarray(recon), jnp.int32(5))
     np.testing.assert_allclose(float(out.loss), float(want), rtol=2e-4)
+
+
+def test_actnorm_matches_taming_semantics():
+    """taming ActNorm: scale * (x + loc); lazy init loc=-mean,
+    scale=1/(std+eps)."""
+    from dpm_solver_tpu.models.discriminator import (
+        ActNorm, actnorm_stats_from_batch)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(2.0, 3.0, (4, 5, 5, 6)).astype(np.float32))
+    an = ActNorm()
+    params = an.init(jax.random.PRNGKey(0), x)
+    loc, scale = actnorm_stats_from_batch(x)
+    params = {"params": {"loc": loc, "scale": scale}}
+    out = an.apply(params, x)
+    # initialized output is per-channel standardized
+    np.testing.assert_allclose(np.asarray(out.mean(axis=(0, 1, 2))), 0.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.std(axis=(0, 1, 2))), 1.0,
+                               atol=1e-3)
+
+
+def test_actnorm_discriminator_converter():
+    """ActNorm checkpoints store main.{i}.loc/scale (1,C,1,1); converter
+    must route them and the forward must match a torch twin."""
+    from dpm_solver_tpu.models.discriminator import (
+        NLayerDiscriminator, convert_torch_discriminator)
+
+    rng = np.random.default_rng(8)
+    ndf, n_layers = 8, 2
+    sd = {}
+    cin = 3
+    layout = [(0, ndf, True)]
+    i = 2
+    for n in range(1, n_layers + 1):
+        layout.append((i, ndf * min(2 ** n, 8), False))
+        i += 3
+    layout.append((i, 1, True))
+    for li, width, bias in layout:
+        sd[f"main.{li}.weight"] = (0.02 * rng.standard_normal(
+            (width, cin, 4, 4))).astype(np.float32)
+        # ActNorm discriminators keep conv biases (use_bias=True)
+        sd[f"main.{li}.bias"] = rng.normal(0, 0.1, (width,)).astype(
+            np.float32)
+        if not bias:
+            sd[f"main.{li + 1}.loc"] = rng.normal(
+                0, 0.5, (1, width, 1, 1)).astype(np.float32)
+            sd[f"main.{li + 1}.scale"] = np.abs(rng.normal(
+                1, 0.2, (1, width, 1, 1))).astype(np.float32)
+        cin = width
+    x = rng.uniform(-1, 1, (2, 3, 16, 16)).astype(np.float32)
+
+    t = F.conv2d(torch.tensor(x), torch.tensor(sd["main.0.weight"]),
+                 torch.tensor(sd["main.0.bias"]), stride=2, padding=1)
+    t = F.leaky_relu(t, 0.2)
+    i = 2
+    for n in range(1, n_layers + 1):
+        stride = 2 if n < n_layers else 1
+        t = F.conv2d(t, torch.tensor(sd[f"main.{i}.weight"]),
+                     torch.tensor(sd[f"main.{i}.bias"]), stride=stride,
+                     padding=1)
+        t = torch.tensor(sd[f"main.{i + 1}.scale"]) * (
+            t + torch.tensor(sd[f"main.{i + 1}.loc"]))
+        t = F.leaky_relu(t, 0.2)
+        i += 3
+    want = F.conv2d(t, torch.tensor(sd[f"main.{i}.weight"]),
+                    torch.tensor(sd[f"main.{i}.bias"]), stride=1,
+                    padding=1).numpy()
+
+    disc = NLayerDiscriminator(ndf=ndf, n_layers=n_layers,
+                               use_actnorm=True)
+    dvars = convert_torch_discriminator(sd, n_layers=n_layers)
+    got = disc.apply(dvars, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got)[..., 0], want[:, 0],
+                               rtol=2e-4, atol=2e-4)
