@@ -111,6 +111,11 @@ class PlanRows:
     t_next: jax.Array       # [n] state time after the row (model-label time)
     alpha_next: jax.Array   # [n] alpha at t_next (x0 conversion at eval)
     sigma_next: jax.Array   # [n] sigma at t_next
+    # UniPC corrector extension (None for plain predictor rows): the row's
+    # committed state is A*x + b_corr@hist + c_corr*m_new where m_new is the
+    # model value at the predicted point (then pushed into history).
+    b_corr: Optional[jax.Array] = None   # [n, 3]
+    c_corr: Optional[jax.Array] = None   # [n]
 
     @property
     def n_ops(self) -> int:
@@ -118,13 +123,17 @@ class PlanRows:
 
     @staticmethod
     def from_lists(rows: Sequence[Tuple], ns: NoiseScheduleVP, dtype=jnp.float32) -> "PlanRows":
-        """rows: list of (t_next, A, (b0,b1,b2), s_noise) in float64."""
+        """rows: (t_next, A, (b0,b1,b2), s_noise) tuples in float64, with
+        two optional trailing entries ((bc0,bc1,bc2), c_corr) for UniPC
+        corrector rows (all-or-none across the list)."""
         t_next = np.asarray([r[0] for r in rows], dtype=np.float64)
         a = np.asarray([r[1] for r in rows], dtype=np.float64)
         b = np.asarray([r[2] for r in rows], dtype=np.float64)
         s = np.asarray([r[3] for r in rows], dtype=np.float64)
         alpha = ns.marginal_alpha_np(t_next)
         sigma = ns.marginal_std_np(t_next)
+        has_corr = len(rows[0]) > 4
+        assert all((len(r) > 4) == has_corr for r in rows)
         return PlanRows(
             a=jnp.asarray(a, dtype),
             b=jnp.asarray(b, dtype),
@@ -132,6 +141,12 @@ class PlanRows:
             t_next=jnp.asarray(t_next, dtype),
             alpha_next=jnp.asarray(alpha, dtype),
             sigma_next=jnp.asarray(sigma, dtype),
+            b_corr=(jnp.asarray(np.asarray([r[4] for r in rows],
+                                           dtype=np.float64), dtype)
+                    if has_corr else None),
+            c_corr=(jnp.asarray(np.asarray([r[5] for r in rows],
+                                           dtype=np.float64), dtype)
+                    if has_corr else None),
         )
 
 
@@ -257,6 +272,67 @@ def build_multistep_plan(
     return _assemble_uniform_plan(
         ns, timesteps[0], rows, denoise_final=denoise_to_zero, t_0=t_0,
         has_noise=algorithm_type in U.SDE_ALGORITHMS, dtype=dtype,
+    )
+
+
+def build_unipc_plan(
+    ns: NoiseScheduleVP,
+    steps: int,
+    order: int,
+    *,
+    t_start: Optional[float] = None,
+    t_end: Optional[float] = None,
+    skip_type: str = "time_uniform",
+    algorithm_type: str = "dpmsolver++",
+    variant: str = "bh2",
+    lower_order_final: bool = True,
+    denoise_to_zero: bool = False,
+    timesteps: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
+) -> SamplePlan:
+    """Plan a UniPC trajectory (arXiv:2302.04867) — beyond the reference.
+
+    Same grid/warm-up/order schedule as `build_multistep_plan` (the official
+    UniPC driver reuses the DPM-Solver multistep loop structure); every
+    in-scan row carries both the UniP predictor and the UniC corrector
+    (which re-uses the step's single model eval), and the final update is
+    predictor-only so NFE == steps exactly, matching the official
+    `disable_corrector`-on-last-step convention.
+    """
+    t_0 = (1.0 / ns.total_N if ns.schedule == "discrete" else 1e-3) if t_end is None else t_end
+    t_T = ns.T if t_start is None else t_start
+    assert t_0 > 0 and t_T > 0
+    assert steps >= order
+    if algorithm_type not in U.ODE_ALGORITHMS:
+        raise ValueError("UniPC is ODE-only")
+    if timesteps is None:
+        timesteps = get_time_steps(ns, skip_type, t_T, t_0, steps)
+    else:
+        timesteps = np.asarray(timesteps, dtype=np.float64)
+        assert timesteps.shape == (steps + 1,)
+        t_0 = float(timesteps[-1])
+
+    rows = []
+    for step in range(1, steps + 1):
+        if step < order:
+            step_order = step
+        elif lower_order_final and steps < 10:
+            step_order = min(order, steps + 1 - step)
+        else:
+            step_order = order
+        t_prev = timesteps[max(0, step - step_order):step]
+        a, bp, bc, cc = U.unipc_row(
+            ns, list(t_prev), timesteps[step], step_order,
+            algorithm_type=algorithm_type, variant=variant, lib=np,
+        )
+        if step < steps:
+            rows.append((timesteps[step], a, bp, 0.0, bc, cc))
+        else:  # last update: predictor only, no eval after
+            rows.append((timesteps[step], a, bp, 0.0))
+
+    return _assemble_uniform_plan(
+        ns, timesteps[0], rows, denoise_final=denoise_to_zero, t_0=t_0,
+        has_noise=False, dtype=dtype,
     )
 
 

@@ -26,10 +26,12 @@ from dpm_solver_tpu.solver.plan import (
     SamplePlan,
     build_multistep_plan,
     build_singlestep_plan,
+    build_unipc_plan,
 )
 from dpm_solver_tpu.utils.trees import bcast_right
 
-METHODS = ("multistep", "singlestep", "singlestep_fixed", "adaptive")
+METHODS = ("multistep", "singlestep", "singlestep_fixed", "adaptive",
+           "unipc")
 
 
 def _push_hist(hist, m):
@@ -121,28 +123,42 @@ def execute_plan(
     if plan.scan_rows is not None:
         rows = plan.scan_rows
         n = rows.n_ops
+        has_corr = rows.b_corr is not None  # UniPC predictor-corrector rows
 
         def body(carry, inp):
             x, hist = carry
-            i, a, b, s_noise, t_next, alpha_next, sigma_next = inp
+            if has_corr:
+                (i, a, b, s_noise, t_next, alpha_next, sigma_next,
+                 bc, cc) = inp
+            else:
+                i, a, b, s_noise, t_next, alpha_next, sigma_next = inp
             z = None
             if plan.has_noise:
                 z = jax.random.normal(jax.random.fold_in(rng, i), x.shape, x.dtype)
             x_new = _combine(a, b, s_noise, x, hist, z, use_pallas)
-            if correcting_xt_fn is not None:
-                x_new = correcting_xt_fn(x_new, t_next, i)
-            m = eval_fn(x_new, t_next, alpha_next, sigma_next)
+            if has_corr:
+                # UniC: the step's single model eval happens at the
+                # predicted point, the committed state re-anchors at the
+                # PREVIOUS x, and the eval is reused as next history
+                m = eval_fn(x_new, t_next, alpha_next, sigma_next)
+                x_new = _combine(a, bc, s_noise, x, hist, None,
+                                 use_pallas) + cc * m
+                if correcting_xt_fn is not None:
+                    x_new = correcting_xt_fn(x_new, t_next, i)
+            else:
+                if correcting_xt_fn is not None:
+                    x_new = correcting_xt_fn(x_new, t_next, i)
+                m = eval_fn(x_new, t_next, alpha_next, sigma_next)
             hist = _push_hist(hist, m)
             y = x_new if return_intermediate else jnp.zeros((), x.dtype)
             return (x_new, hist), y
 
         step_idx = jnp.arange(1, n + 1)
-        (x, hist), ys = jax.lax.scan(
-            body,
-            (x, hist),
-            (step_idx, rows.a, rows.b, rows.s_noise, rows.t_next,
-             rows.alpha_next, rows.sigma_next),
-        )
+        scan_inputs = [step_idx, rows.a, rows.b, rows.s_noise, rows.t_next,
+                       rows.alpha_next, rows.sigma_next]
+        if has_corr:
+            scan_inputs += [rows.b_corr, rows.c_corr]
+        (x, hist), ys = jax.lax.scan(body, (x, hist), tuple(scan_inputs))
         if return_intermediate:
             intermediates.extend(ys[i] for i in range(n))
 
@@ -237,7 +253,16 @@ def make_plan(
     algorithm_type: str = "dpmsolver++",
     timesteps=None,
     dtype=jnp.float32,
+    variant: str = "bh2",
 ) -> SamplePlan:
+    if method == "unipc":
+        return build_unipc_plan(
+            ns, steps, order, t_start=t_start, t_end=t_end,
+            skip_type=skip_type, algorithm_type=algorithm_type,
+            variant=variant, lower_order_final=lower_order_final,
+            denoise_to_zero=denoise_to_zero, timesteps=timesteps,
+            dtype=dtype,
+        )
     if method == "multistep":
         return build_multistep_plan(
             ns, steps, order, t_start=t_start, t_end=t_end, skip_type=skip_type,
@@ -435,6 +460,7 @@ class DPM_Solver:
         rng: Optional[jax.Array] = None,
         jit: bool = True,
         denoise: Optional[bool] = None,
+        variant: str = "bh2",
     ):
         if denoise is not None:  # older JAX kwarg (dpm_solver_jax.py:966-968)
             denoise_to_zero = bool(denoise)
@@ -472,7 +498,7 @@ class DPM_Solver:
         key = (
             steps, t_start, t_end, order, skip_type, method, lower_order_final,
             denoise_to_zero, solver_type, return_intermediate, x.shape,
-            str(x.dtype), jit, rng is None,
+            str(x.dtype), jit, rng is None, variant,
         )
         fn = self._compiled_cache.get(key)
         if fn is None:
@@ -481,6 +507,7 @@ class DPM_Solver:
                 order=order, skip_type=skip_type, method=method,
                 lower_order_final=lower_order_final, denoise_to_zero=denoise_to_zero,
                 solver_type=solver_type, algorithm_type=self.algorithm_type,
+                variant=variant,
             )
             fn = partial(
                 execute_plan, self.model_fn_raw, plan,

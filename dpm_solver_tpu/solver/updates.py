@@ -308,3 +308,98 @@ def singlestep_segment_rows(ns, s, t, order: int, *, r1=None, r2=None,
         return rows
 
     raise ValueError(f"singlestep order must be 1/2/3, got {order}")
+
+
+def unipc_row(ns, t_prev: Sequence, t, order: int, *,
+              algorithm_type: str = "dpmsolver++", variant: str = "bh2",
+              lib=np):
+    """Predictor + corrector coefficient rows for UniPC (arXiv:2302.04867).
+
+    Beyond the reference repo (which stops at DPM-Solver++); semantics
+    follow the official UniPC `multistep_uni_pc_bh_update`, including its
+    "simplified" special cases (order-2 predictor rho=[1/2], order-1
+    corrector rho=[1/2]). `t_prev` newest LAST; order-K uses the trailing K
+    entries. Returns
+
+        (A, b_pred, b_corr, c_corr)
+
+    with the usual row semantics x_pred = A x + b_pred @ hist, and the
+    corrector re-anchoring at the SAME x with the new model value m_t:
+    x_corr = A x + b_corr @ hist + c_corr * m_t. One model eval per step
+    (the corrector reuses m_t as the next step's newest history entry).
+    ODE only ("dpmsolver" = noise prediction, "dpmsolver++" = data
+    prediction); `variant` selects B(h): 'bh1' = h, 'bh2' = expm1(h).
+
+    Host-only (lib=np): the rho systems solve a KxK Vandermonde on floats.
+    """
+    import math
+
+    if algorithm_type not in ODE_ALGORITHMS:
+        raise ValueError("UniPC rows are ODE-only; got "
+                         f"{algorithm_type!r}")
+    if not 1 <= order <= 3:
+        raise ValueError(f"unipc order must be 1/2/3, got {order}")
+    pp = algorithm_type == "dpmsolver++"
+
+    _, _, sigma_prev0, lam_prev0 = _marginals(ns, t_prev[-1], lib)
+    log_alpha_prev0 = _marginals(ns, t_prev[-1], lib)[0]
+    log_alpha_t, alpha_t, sigma_t, lam_t = _marginals(ns, t, lib)
+    h = lam_t - lam_prev0
+    hh = -h if pp else h
+    h_phi_1 = lib.expm1(hh)
+    B_h = hh if variant == "bh1" else lib.expm1(hh)
+    if variant not in ("bh1", "bh2"):
+        raise ValueError(f"unipc variant must be bh1|bh2, got {variant!r}")
+
+    K = order
+    rks = []  # r_i for the older history points, i = 1..K-1
+    for i in range(1, K):
+        lam_i = _marginals(ns, t_prev[-1 - i], lib)[3]
+        rks.append(float((lam_i - lam_prev0) / h))
+    rks_full = rks + [1.0]
+
+    R = np.array([[r ** (i - 1) for r in rks_full] for i in range(1, K + 1)],
+                 dtype=np.float64)
+    bvec = []
+    h_phi_k = h_phi_1 / hh - 1.0
+    for i in range(1, K + 1):
+        bvec.append(h_phi_k * math.factorial(i) / B_h)
+        h_phi_k = h_phi_k / hh - 1.0 / math.factorial(i + 1)
+    bvec = np.array(bvec, dtype=np.float64)
+
+    if K == 1:
+        rhos_p = np.zeros(0)
+    elif K == 2:  # official "simplified version" for the order-2 predictor
+        rhos_p = np.array([0.5])
+    else:
+        rhos_p = np.linalg.solve(R[:-1, :-1], bvec[:-1])
+    if K == 1:  # official "simplified version" for the order-1 corrector
+        rhos_c = np.array([0.5])
+    else:
+        rhos_c = np.linalg.solve(R, bvec)
+
+    if pp:
+        A = sigma_t / sigma_prev0
+        scale = alpha_t
+    else:
+        A = lib.exp(log_alpha_t - log_alpha_prev0)
+        scale = sigma_t
+    base0 = -scale * h_phi_1          # coefficient on M0 in x_t_
+
+    # predictor: x_t_ - scale * B_h * sum_i rho_p[i] * (M_{i+1} - M0)/r_i
+    bp = [base0, 0.0, 0.0]
+    for i, r in enumerate(rks):
+        c = scale * B_h * rhos_p[i] / r if i < len(rhos_p) else 0.0
+        bp[0] += c
+        bp[i + 1] -= c
+    # corrector: same older terms with rho_c[:-1], plus the D1_t term
+    # -scale*B_h*rho_c[-1]*(m_t - M0)
+    bc = [base0, 0.0, 0.0]
+    for i, r in enumerate(rks):
+        c = scale * B_h * rhos_c[i] / r
+        bc[0] += c
+        bc[i + 1] -= c
+    bc[0] += scale * B_h * rhos_c[-1]
+    c_corr = -scale * B_h * rhos_c[-1]
+
+    return A, tuple(bp), tuple(bc), c_corr
