@@ -154,6 +154,12 @@ def cmd_sample(args):
 
     config = get_config(args.config)
     scfg = config.sampling
+    overrides = {k: getattr(args, k) for k in ("steps", "order", "method")
+                 if getattr(args, k, None) is not None}
+    if overrides:
+        import dataclasses as _dc
+
+        scfg = _dc.replace(scfg, **overrides)
     model, init_fn = build_model(config)
 
     if args.ckpt:
@@ -714,6 +720,14 @@ def main(argv=None):
                     help="fid: iid batch; sequence: save per-step "
                          "trajectory; interpolation: slerp grid between "
                          "two noise draws (ref runner modes)")
+    sp.add_argument("--steps", type=int, default=None,
+                    help="override the config's NFE budget")
+    sp.add_argument("--order", type=int, default=None)
+    sp.add_argument("--method", default=None,
+                    choices=("multistep", "singlestep", "singlestep_fixed",
+                             "adaptive", "unipc"),
+                    help="override the config's solver method (unipc = "
+                         "predictor-corrector, beyond the reference)")
     sp.set_defaults(fn=cmd_sample)
 
     tp = sub.add_parser("train")

@@ -134,3 +134,13 @@ def test_unipc_full_pipeline_smoke():
     solver2 = DPM_Solver(model_fn, ns, algorithm_type="dpmsolver")
     out2 = solver2.sample(x, steps=6, order=2, method="unipc")
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_cli_method_override(tmp_path, capsys):
+    from dpm_solver_tpu import cli
+
+    cli.main(["sample", "--config", "tiny_test", "--batch", "2",
+              "--outdir", str(tmp_path), "--steps", "4", "--order", "2",
+              "--method", "unipc"])
+    out = capsys.readouterr().out
+    assert "wrote 2 samples" in out
