@@ -575,7 +575,7 @@ def cmd_txt2img(args):
     imgs = np.asarray(pipe.txt2img(
         [args.prompt] * args.batch, steps=args.steps,
         guidance_scale=args.scale, height=args.H, width=args.W,
-        rng=jax.random.PRNGKey(args.seed)))
+        rng=jax.random.PRNGKey(args.seed), method=args.method))
     if args.safety_ckpt:
         # ref txt2img.py:88-95 check_safety: flagged samples are replaced
         from dpm_solver_tpu.models.text_encoder import FrozenCLIPImageEmbedder
@@ -818,6 +818,8 @@ def main(argv=None):
                     help="invisible watermark payload ('' disables)")
     xp.add_argument("--safety-ckpt", default=None,
                     help="local safety-checker torch checkpoint")
+    xp.add_argument("--method", default="multistep",
+                    choices=("multistep", "singlestep", "unipc"))
     xp.set_defaults(fn=cmd_txt2img)
 
     for name, fn, extra in (

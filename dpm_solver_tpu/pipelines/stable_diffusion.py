@@ -247,9 +247,11 @@ class StableDiffusionPipeline:
 
     def txt2img(self, prompts, *, negative_prompt: str = "", steps: int = 25,
                 guidance_scale: float = 7.5, height: int = 512,
-                width: int = 512, rng=None, order: int = 2, mesh=None):
+                width: int = 512, rng=None, order: int = 2, mesh=None,
+                method: str = "multistep"):
         """`mesh`: shard the prompt batch over a `jax.sharding.Mesh` data
-        axis — the serving scale-out path (batch must divide the axis)."""
+        axis — the serving scale-out path (batch must divide the axis).
+        `method`: any fixed-grid solver method incl. "unipc"."""
         if isinstance(prompts, str):
             prompts = [prompts]
         b = len(prompts)
@@ -262,7 +264,7 @@ class StableDiffusionPipeline:
                        self.model.vae.config.z_channels), cond,
             unconditional_guidance_scale=guidance_scale,
             unconditional_conditioning=uncond, rng=rng, order=order,
-            return_intermediate=False, mesh=mesh)
+            return_intermediate=False, mesh=mesh, method=method)
         img = self.model.decode_first_stage(latents)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
 
