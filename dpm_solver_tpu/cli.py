@@ -157,9 +157,12 @@ def cmd_sample(args):
     overrides = {k: getattr(args, k) for k in ("steps", "order", "method")
                  if getattr(args, k, None) is not None}
     if overrides:
-        import dataclasses as _dc
-
-        scfg = _dc.replace(scfg, **overrides)
+        if _uses_pc_sampling(config):
+            raise SystemExit(
+                "--steps/--order/--method are DPM-Solver knobs; config "
+                f"{args.config!r} samples through the PC loop (VE/subVP) "
+                "which ignores them")
+        scfg = dataclasses.replace(scfg, **overrides)
     model, init_fn = build_model(config)
 
     if args.ckpt:

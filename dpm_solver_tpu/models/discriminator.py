@@ -62,10 +62,12 @@ class ActNorm(nn.Module):
 
 def actnorm_stats_from_batch(x, epsilon=1e-6):
     """(loc, scale) matching torch ActNorm's lazy init on a batch:
-    loc = -per-channel mean, scale = 1/(std + eps)."""
+    loc = -per-channel mean, scale = 1/(std + eps). torch Tensor.std is
+    Bessel-corrected, hence ddof=1."""
     x = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
-    return -jnp.mean(x, axis=axes), 1.0 / (jnp.std(x, axis=axes) + epsilon)
+    return (-jnp.mean(x, axis=axes),
+            1.0 / (jnp.std(x, axis=axes, ddof=1) + epsilon))
 
 
 class NLayerDiscriminator(nn.Module):

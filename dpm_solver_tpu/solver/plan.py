@@ -175,6 +175,33 @@ class SegScan:
         return self.rows.a.shape[0]
 
 
+def _grid_and_orders(ns, steps, order, *, t_start, t_end, skip_type,
+                     lower_order_final, timesteps):
+    """Shared multistep/UniPC planning: endpoint defaults, grid resolution,
+    and the reference's warm-up + lower_order_final order schedule
+    (dpm_solver_pytorch.py:1184-1201)."""
+    t_0 = (1.0 / ns.total_N if ns.schedule == "discrete" else 1e-3) \
+        if t_end is None else t_end
+    t_T = ns.T if t_start is None else t_start
+    assert t_0 > 0 and t_T > 0
+    assert steps >= order
+    if timesteps is None:
+        timesteps = get_time_steps(ns, skip_type, t_T, t_0, steps)
+    else:
+        timesteps = np.asarray(timesteps, dtype=np.float64)
+        assert timesteps.shape == (steps + 1,)
+        t_0 = float(timesteps[-1])
+    orders = []
+    for step in range(1, steps + 1):
+        if step < order:
+            orders.append(step)                  # warm-up (ref :1184-1193)
+        elif lower_order_final and steps < 10:
+            orders.append(min(order, steps + 1 - step))   # ref :1196-1201
+        else:
+            orders.append(order)
+    return timesteps, t_0, orders
+
+
 @dataclasses.dataclass(frozen=True)
 class SamplePlan:
     """A fully-planned trajectory.
@@ -240,28 +267,15 @@ def build_multistep_plan(
     `timesteps` (optional, shape [steps+1], decreasing) overrides the built-in
     grid — use for custom spacings (e.g. externally computed sigmas).
     """
-    t_0 = (1.0 / ns.total_N if ns.schedule == "discrete" else 1e-3) if t_end is None else t_end
-    t_T = ns.T if t_start is None else t_start
-    assert t_0 > 0 and t_T > 0
-    assert steps >= order
     max_order = 2 if algorithm_type in U.SDE_ALGORITHMS else 3
     if order > max_order:
         raise ValueError(f"{algorithm_type} supports order <= {max_order}, got {order}")
-    if timesteps is None:
-        timesteps = get_time_steps(ns, skip_type, t_T, t_0, steps)
-    else:
-        timesteps = np.asarray(timesteps, dtype=np.float64)
-        assert timesteps.shape == (steps + 1,)
-        t_0 = float(timesteps[-1])
+    timesteps, t_0, orders = _grid_and_orders(
+        ns, steps, order, t_start=t_start, t_end=t_end, skip_type=skip_type,
+        lower_order_final=lower_order_final, timesteps=timesteps)
 
     rows = []
-    for step in range(1, steps + 1):
-        if step < order:
-            step_order = step                    # warm-up (ref :1184-1193)
-        elif lower_order_final and steps < 10:
-            step_order = min(order, steps + 1 - step)   # ref :1196-1201
-        else:
-            step_order = order
+    for step, step_order in enumerate(orders, start=1):
         t_prev = timesteps[max(0, step - step_order):step]
         a, b, s = U.multistep_row(
             ns, list(t_prev), timesteps[step], step_order,
@@ -299,27 +313,14 @@ def build_unipc_plan(
     predictor-only so NFE == steps exactly, matching the official
     `disable_corrector`-on-last-step convention.
     """
-    t_0 = (1.0 / ns.total_N if ns.schedule == "discrete" else 1e-3) if t_end is None else t_end
-    t_T = ns.T if t_start is None else t_start
-    assert t_0 > 0 and t_T > 0
-    assert steps >= order
     if algorithm_type not in U.ODE_ALGORITHMS:
         raise ValueError("UniPC is ODE-only")
-    if timesteps is None:
-        timesteps = get_time_steps(ns, skip_type, t_T, t_0, steps)
-    else:
-        timesteps = np.asarray(timesteps, dtype=np.float64)
-        assert timesteps.shape == (steps + 1,)
-        t_0 = float(timesteps[-1])
+    timesteps, t_0, orders = _grid_and_orders(
+        ns, steps, order, t_start=t_start, t_end=t_end, skip_type=skip_type,
+        lower_order_final=lower_order_final, timesteps=timesteps)
 
     rows = []
-    for step in range(1, steps + 1):
-        if step < order:
-            step_order = step
-        elif lower_order_final and steps < 10:
-            step_order = min(order, steps + 1 - step)
-        else:
-            step_order = order
+    for step, step_order in enumerate(orders, start=1):
         t_prev = timesteps[max(0, step - step_order):step]
         a, bp, bc, cc = U.unipc_row(
             ns, list(t_prev), timesteps[step], step_order,

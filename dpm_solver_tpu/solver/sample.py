@@ -138,8 +138,12 @@ def execute_plan(
             x_new = _combine(a, b, s_noise, x, hist, z, use_pallas)
             if has_corr:
                 # UniC: the step's single model eval happens at the
-                # predicted point, the committed state re-anchors at the
-                # PREVIOUS x, and the eval is reused as next history
+                # predicted point (xt-corrected first — every model eval in
+                # this file sees corrected state), the committed state
+                # re-anchors at the PREVIOUS x, and the eval is reused as
+                # next history
+                if correcting_xt_fn is not None:
+                    x_new = correcting_xt_fn(x_new, t_next, i)
                 m = eval_fn(x_new, t_next, alpha_next, sigma_next)
                 x_new = _combine(a, bc, s_noise, x, hist, None,
                                  use_pallas) + cc * m

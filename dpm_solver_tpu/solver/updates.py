@@ -341,8 +341,8 @@ def unipc_row(ns, t_prev: Sequence, t, order: int, *,
         raise ValueError(f"unipc order must be 1/2/3, got {order}")
     pp = algorithm_type == "dpmsolver++"
 
-    _, _, sigma_prev0, lam_prev0 = _marginals(ns, t_prev[-1], lib)
-    log_alpha_prev0 = _marginals(ns, t_prev[-1], lib)[0]
+    log_alpha_prev0, _, sigma_prev0, lam_prev0 = _marginals(ns, t_prev[-1],
+                                                            lib)
     log_alpha_t, alpha_t, sigma_t, lam_t = _marginals(ns, t, lib)
     h = lam_t - lam_prev0
     hh = -h if pp else h
