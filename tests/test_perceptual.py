@@ -314,11 +314,12 @@ def test_actnorm_matches_taming_semantics():
     loc, scale = actnorm_stats_from_batch(x)
     params = {"params": {"loc": loc, "scale": scale}}
     out = an.apply(params, x)
-    # initialized output is per-channel standardized
+    # initialized output is per-channel standardized (torch Tensor.std is
+    # Bessel-corrected, so the unit-variance claim is the ddof=1 one)
     np.testing.assert_allclose(np.asarray(out.mean(axis=(0, 1, 2))), 0.0,
                                atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out.std(axis=(0, 1, 2))), 1.0,
-                               atol=1e-3)
+    np.testing.assert_allclose(
+        np.std(np.asarray(out), axis=(0, 1, 2), ddof=1), 1.0, atol=1e-3)
 
 
 def test_actnorm_discriminator_converter():
