@@ -1,0 +1,164 @@
+"""Fused LayerNorm -> Linear Pallas kernel for the SD transformer stack.
+
+Motivation: every BasicTransformerBlock site (models/transformer.py:89-95,
+twin of examples/stable-diffusion/ldm/modules/attention.py:196-216) computes
+`proj(LN(x))` — self-attn qkv (one concatenated d->3d matmul), cross-attn
+q, and the FF in-projection. XLA materializes LN(x) (M x d bf16) in HBM
+between the reduce and the dot because TPU dots do not take fused operands;
+at the SD-2.1 96px site that is a ~47 MB write + read per LN instance per
+UNet eval. This kernel normalizes a row tile once into VMEM scratch (fp32
+stats, bf16 normalized tile — bit-matching the unfused fp32-LN -> bf16-cast
+-> matmul composition) and streams weight column tiles against it, so the
+normalized activations never touch HBM.
+
+Default OFF at the model level: wiring follows the repo's measured-A/B
+discipline (see ops/fused_update.py for the precedent where the kernel
+LOST) — benchmarks/ln_linear_bench.py produces the on-chip verdict and the
+model opts in only where it wins.
+
+Forward-only custom_vjp: the backward composes the XLA LN/matmul VJP
+(recompute; sampling is the product, matching ops/geglu.py's convention).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def ln_linear_reference(x, gamma, beta, w, bias=None, *, eps: float = 1e-5):
+    """Unfused composition the kernel must match: fp32 LayerNorm (flax
+    semantics, dtype=float32) -> cast to w.dtype -> matmul (+ bias)."""
+    xv = x.astype(jnp.float32)
+    mean = jnp.mean(xv, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xv - mean), axis=-1, keepdims=True)
+    xn = (xv - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    xn = xn.astype(w.dtype)
+    out = jax.lax.dot_general(xn, w, (((xn.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _kernel_core(x_ref, g_ref, b_ref, w_ref, c_ref, o_ref, xn_ref, *,
+                 eps: float, out_dtype):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _normalize():
+        xv = x_ref[...].astype(jnp.float32)
+        mean = jnp.mean(xv, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(xv - mean), axis=1, keepdims=True)
+        xn = (xv - mean) * jax.lax.rsqrt(var + eps)
+        xn = xn * g_ref[...].astype(jnp.float32) \
+            + b_ref[...].astype(jnp.float32)
+        xn_ref[...] = xn.astype(xn_ref.dtype)
+
+    out = jax.lax.dot_general(
+        xn_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if c_ref is not None:
+        out = out + c_ref[...].astype(jnp.float32)
+    o_ref[...] = out.astype(out_dtype)
+
+
+def _kernel_bias(x_ref, g_ref, b_ref, w_ref, c_ref, o_ref, xn_ref, *,
+                 eps, out_dtype):
+    _kernel_core(x_ref, g_ref, b_ref, w_ref, c_ref, o_ref, xn_ref,
+                 eps=eps, out_dtype=out_dtype)
+
+
+def _kernel_nobias(x_ref, g_ref, b_ref, w_ref, o_ref, xn_ref, *,
+                   eps, out_dtype):
+    _kernel_core(x_ref, g_ref, b_ref, w_ref, None, o_ref, xn_ref,
+                 eps=eps, out_dtype=out_dtype)
+
+
+def _fused_call(x2, gamma, beta, w, bias, *, eps, block_m, block_n,
+                interpret):
+    m, d = x2.shape
+    n = w.shape[1]
+    grid = (m // block_m, n // block_n)
+    in_specs = [
+        pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+        pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+        pl.BlockSpec((d, block_n), lambda i, j: (0, j)),
+    ]
+    args = [x2, gamma.reshape(1, d), beta.reshape(1, d), w]
+    if bias is not None:
+        kernel = functools.partial(_kernel_bias, eps=eps,
+                                   out_dtype=x2.dtype)
+        in_specs.append(pl.BlockSpec((1, block_n), lambda i, j: (0, j)))
+        args.append(bias.reshape(1, n))
+    else:
+        kernel = functools.partial(_kernel_nobias, eps=eps,
+                                   out_dtype=x2.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, d), w.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def ln_linear(x, gamma, beta, w, bias=None, eps: float = 1e-5,
+              block_m: int = 256, block_n: Optional[int] = None,
+              interpret: bool = False):
+    """Fused `LN(x; gamma, beta) @ w (+ bias)` over the last axis of x.
+
+    x: (..., d), w: (d, n) -> (..., n). Falls back to the XLA composition
+    when the flattened row count or n does not tile (ragged shapes are rare
+    in the transformer: token counts are h*w multiples of 64).
+    """
+    d = x.shape[-1]
+    n = w.shape[1]
+    m = 1
+    for s in x.shape[:-1]:
+        m *= s
+    bn = block_n or min(512, n)
+    if m % block_m or n % bn or d % 128:
+        return ln_linear_reference(x, gamma, beta, w, bias, eps=eps)
+    x2 = x.reshape(m, d)
+    out = _fused_call(x2, gamma, beta, w, bias, eps=eps, block_m=block_m,
+                      block_n=bn, interpret=interpret)
+    return out.reshape(x.shape[:-1] + (n,))
+
+
+def _fwd(x, gamma, beta, w, bias, eps, block_m, block_n, interpret):
+    return (ln_linear(x, gamma, beta, w, bias, eps, block_m, block_n,
+                      interpret),
+            (x, gamma, beta, w, bias))
+
+
+def _bwd(eps, block_m, block_n, interpret, res, g):
+    x, gamma, beta, w, bias = res
+    diff_args = (x, gamma, beta, w) if bias is None \
+        else (x, gamma, beta, w, bias)
+
+    def ref(*a):
+        if bias is None:
+            return ln_linear_reference(a[0], a[1], a[2], a[3], None, eps=eps)
+        return ln_linear_reference(*a, eps=eps)
+
+    _, vjp = jax.vjp(ref, *diff_args)
+    grads = vjp(g)
+    if bias is None:
+        grads = grads + (None,)
+    return grads
+
+
+ln_linear.defvjp(_fwd, _bwd)
