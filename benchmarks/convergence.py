@@ -167,6 +167,10 @@ def main():
         "dpmsolver_3M_10nfe_logSNR": dict(
             steps=10, order=3, method="multistep", skip_type="logSNR",
             algorithm_type="dpmsolver"),
+        "unipc_3_10nfe_logSNR": dict(
+            steps=10, order=3, method="unipc", skip_type="logSNR"),
+        "unipc_2_10nfe_time_uniform": dict(
+            steps=10, order=2, method="unipc", skip_type="time_uniform"),
         "ddim_10nfe": dict(steps=10, order=1, method="multistep",
                            skip_type="time_uniform"),
         "ddim_20nfe": dict(steps=20, order=1, method="multistep",
