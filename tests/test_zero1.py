@@ -110,3 +110,36 @@ def test_sharded_step_matches_replicated(setup):
     assert big and all(
         l.addressable_shards[0].data.size < int(np.prod(l.shape))
         for l in big)
+
+
+def test_adversarial_state_shards_both_optimizers():
+    """optstate_shardings handles the two-optimizer AdversarialTrainState
+    (gen_opt + disc_opt sharded, params/batch_stats replicated)."""
+    import flax
+    import optax as _optax
+
+    from dpm_solver_tpu.models.discriminator import NLayerDiscriminator
+    from dpm_solver_tpu.models.vae import AutoencoderKL, VAEConfig
+    from dpm_solver_tpu.training.autoencoder import make_adversarial_state
+
+    cfg = VAEConfig.tiny(resolution=16, attn_resolutions=())
+    vae = AutoencoderKL(cfg)
+    ae_params = vae.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 16, 16, 3)),
+                         jax.random.PRNGKey(0))["params"]
+    disc = NLayerDiscriminator(ndf=8, n_layers=2)
+    disc_vars = disc.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+    state, _ = make_adversarial_state(ae_params, disc_vars)
+
+    mesh = make_mesh(jax.devices()[:8])
+    shardings = optstate_shardings(state, mesh)
+    sharded = jax.device_put(state, shardings)
+    n = mesh.shape["data"]
+    for opt in (sharded.gen_opt, sharded.disc_opt):
+        split = [l for l in jax.tree.leaves(opt)
+                 if hasattr(l, "shape") and l.shape and l.size >= 2 ** 12
+                 and any(s % n == 0 and s > 0 for s in l.shape)
+                 and l.addressable_shards[0].data.size == l.size // n]
+        assert split, "no sharded moment found"
+    p0 = jax.tree.leaves(sharded.gen_params)[0]
+    assert p0.addressable_shards[0].data.size == p0.size
