@@ -171,6 +171,10 @@ def main():
             steps=10, order=3, method="unipc", skip_type="logSNR"),
         "unipc_2_10nfe_time_uniform": dict(
             steps=10, order=2, method="unipc", skip_type="time_uniform"),
+        "dpmsolver++_2M_10nfe_karras": dict(
+            steps=10, order=2, method="multistep", skip_type="karras"),
+        "unipc_3_10nfe_karras": dict(
+            steps=10, order=3, method="unipc", skip_type="karras"),
         "ddim_10nfe": dict(steps=10, order=1, method="multistep",
                            skip_type="time_uniform"),
         "ddim_20nfe": dict(steps=20, order=1, method="multistep",

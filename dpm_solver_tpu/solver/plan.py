@@ -27,7 +27,7 @@ import numpy as np
 from dpm_solver_tpu.schedule import NoiseScheduleVP
 from dpm_solver_tpu.solver import updates as U
 
-SKIP_TYPES = ("logSNR", "time_uniform", "time_quadratic")
+SKIP_TYPES = ("logSNR", "time_uniform", "time_quadratic", "karras")
 
 
 # --------------------------------------------------------------------------- #
@@ -50,6 +50,24 @@ def get_time_steps(ns: NoiseScheduleVP, skip_type: str, t_T: float, t_0: float,
         return np.linspace(t_T, t_0, N + 1, dtype=np.float64)
     elif skip_type == "time_quadratic":
         return np.linspace(t_T ** 0.5, t_0 ** 0.5, N + 1, dtype=np.float64) ** 2
+    elif skip_type == "karras":
+        # Karras et al. (arXiv:2206.00364 eq. 5) rho=7 spacing of the
+        # noise-to-signal ratio sigma = sigma_t/alpha_t = exp(-lambda), the
+        # grid diffusers exposes as `use_karras_sigmas` for the DPM-Solver
+        # schedulers the reference README recommends (README.md:46,71-79).
+        # Not present in the reference's own code (sampler grids only at
+        # dpm_solver_pytorch.py:453-480); endpoints coincide with the other
+        # grids, interior points concentrate steps at low noise.
+        rho = 7.0
+        lambda_T = float(ns.marginal_lambda_np(np.float64(t_T)))
+        lambda_0 = float(ns.marginal_lambda_np(np.float64(t_0)))
+        sigma_max, sigma_min = np.exp(-lambda_T), np.exp(-lambda_0)
+        ramp = np.linspace(0.0, 1.0, N + 1, dtype=np.float64)
+        inv_rho = 1.0 / rho
+        sigmas = (sigma_max ** inv_rho
+                  + ramp * (sigma_min ** inv_rho - sigma_max ** inv_rho)) ** rho
+        lambdas = -np.log(sigmas)
+        return np.asarray(ns.inverse_lambda_np(lambdas), dtype=np.float64)
     raise ValueError(f"Unsupported skip_type {skip_type!r}; need one of {SKIP_TYPES}")
 
 
