@@ -46,6 +46,9 @@ ITEMS = [
     ("ln_linear", [sys.executable, "benchmarks/ln_linear_bench.py"], 2400),
     ("convergence", [sys.executable, "benchmarks/convergence.py"], 5400),
     ("headline", [sys.executable, "bench.py"], 3600),
+    ("quant", [sys.executable, "benchmarks/quant_bench.py"], 3600),
+    ("sd_bench_w8a8",
+     [sys.executable, "benchmarks/sd_bench.py", "--quant", "w8a8"], 3600),
 ]
 
 

@@ -56,6 +56,10 @@ def main():
     p.add_argument("--tiny", action="store_true",
                    help="replace the 866M UNet with a structurally identical "
                         "small one (CPU smoke runs; numbers meaningless)")
+    p.add_argument("--quant", choices=["w8a8"], default=None,
+                   help="int8 dynamic-quantized transformer stack "
+                        "(ops/quant.py); A/B against the default bf16 run "
+                        "from the same session")
     args = p.parse_args()
 
     import os
@@ -82,6 +86,8 @@ def main():
         # model_channels must stay a multiple of num_head_channels=64
         ucfg = dataclasses.replace(ucfg, model_channels=64,
                                    num_res_blocks=1, channel_mult=(1, 2))
+    if args.quant:
+        ucfg = dataclasses.replace(ucfg, quant=args.quant)
     unet = ADMUNet(config=ucfg, compute_dtype=jnp.bfloat16)
     ctx = jnp.zeros((2 * args.batch, 77, ucfg.context_dim), jnp.float32)
     t0 = time.perf_counter()
@@ -226,7 +232,9 @@ def main():
           f"{tfs:.1f} TF/s) | per-step baseline {dt_base*1e3:.0f} ms/batch "
           f"({flops/dt_base/1e12:.1f} TF/s)", file=sys.stderr)
     print(json.dumps({
-        "metric": f"sd21_{args.steps}nfe_cfg_samples_per_sec_per_chip",
+        "metric": (f"sd21_{args.steps}nfe_cfg_samples_per_sec_per_chip"
+                   + (f"_{args.quant}" if args.quant else "")),
+        "quant": args.quant,
         "value": round(sps, 3),
         "unit": "samples/s",
         "vs_baseline": round(dt_base / dt, 3),

@@ -570,7 +570,8 @@ def cmd_txt2img(args):
     from dpm_solver_tpu.pipelines import StableDiffusionPipeline, load_sd_checkpoint
 
     text = FrozenCLIPEmbedder(args.clip) if args.clip else None
-    ldm = load_sd_checkpoint(args.ckpt, text_encode=text)
+    ldm = load_sd_checkpoint(args.ckpt, text_encode=text,
+                             quant=getattr(args, "quant", None))
     pipe = StableDiffusionPipeline(ldm)
     if args.safety_ckpt and not args.clip:
         raise SystemExit("--safety-ckpt needs --clip (the CLIP vision tower "
@@ -823,6 +824,9 @@ def main(argv=None):
                     help="local safety-checker torch checkpoint")
     xp.add_argument("--method", default="multistep",
                     choices=("multistep", "singlestep", "unipc"))
+    xp.add_argument("--quant", default=None, choices=("w8a8",),
+                    help="int8 dynamic-quantized transformer stack "
+                         "(serving; ops/quant.py)")
     xp.set_defaults(fn=cmd_txt2img)
 
     for name, fn, extra in (

@@ -65,6 +65,9 @@ class ADMConfig:
     context_dim: Optional[int] = None
     use_linear_in_transformer: bool = False  # SD-2.x variant
     legacy: bool = True
+    # Serving-time int8 path for the transformer stack (None | "w8a8");
+    # param tree and checkpoints are unaffected (ops/quant.py).
+    quant: Optional[str] = None
     # EncoderUNetModel only:
     pool: str = "adaptive"  # adaptive | attention | spatial | spatial_v2
 
@@ -482,7 +485,7 @@ class _ADMBase(nn.Module):
             return SpatialTransformer(
                 heads=spec["heads"], dim_head=spec["dim_head"],
                 depth=spec["depth"], linear_proj=spec.get("linear", False),
-                dtype=dt, name=name)(h, context=context)
+                dtype=dt, quant=cfg.quant, name=name)(h, context=context)
         if kind == "resample":
             return ADMResample(direction=spec["direction"],
                                out_ch=spec["out_ch"],

@@ -31,14 +31,17 @@ class CrossAttention(nn.Module):
     dim_head: int
     out_dim: Optional[int] = None
     dtype: Any = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, context=None):
+        from dpm_solver_tpu.ops.quant import dense as make_dense
+
         b, t, q_dim = x.shape
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
-        dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype,
-                                         name=name)
+        dense = lambda d, name: make_dense(self.quant, d, use_bias=False,
+                                           dtype=self.dtype, name=name)
         if context is None:
             # self-attention: one fused (C, 3*inner) matmul
             qkv = jnp.concatenate(
@@ -52,8 +55,8 @@ class CrossAttention(nn.Module):
 
         out = token_attention(q, k, v, num_heads=self.heads,
                               scale=self.dim_head ** -0.5)
-        return nn.Dense(self.out_dim or q_dim, dtype=self.dtype,
-                        name="to_out")(out)
+        return make_dense(self.quant, self.out_dim or q_dim, dtype=self.dtype,
+                          name="to_out")(out)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -64,6 +67,7 @@ class GEGLUFeedForward(nn.Module):
 
     mult: int = 4
     dtype: Any = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -73,6 +77,10 @@ class GEGLUFeedForward(nn.Module):
         inner = dim * self.mult
         w1, b1 = _LinParams(dim, 2 * inner, name="proj")()
         w2, b2 = _LinParams(inner, dim, name="out")()
+        if self.quant == "w8a8":
+            from dpm_solver_tpu.ops.quant import w8a8_geglu
+
+            return w8a8_geglu(x.astype(self.dtype), w1, b1, w2, b2)
         return geglu_ff(x.astype(self.dtype), w1, b1, w2, b2)
 
 
@@ -83,16 +91,19 @@ class TransformerBlock(nn.Module):
     heads: int
     dim_head: int
     dtype: Any = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, context=None):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                        name=name)
         attn = lambda name: CrossAttention(self.heads, self.dim_head,
-                                           dtype=self.dtype, name=name)
+                                           dtype=self.dtype, quant=self.quant,
+                                           name=name)
         x = x + attn("attn1")(ln("norm1")(x))
         x = x + attn("attn2")(ln("norm2")(x), context=context)
-        x = x + GEGLUFeedForward(dtype=self.dtype, name="ff")(ln("norm3")(x))
+        x = x + GEGLUFeedForward(dtype=self.dtype, quant=self.quant,
+                                 name="ff")(ln("norm3")(x))
         return x
 
 
@@ -109,21 +120,26 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     linear_proj: bool = False
     dtype: Any = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, context=None):
+        from dpm_solver_tpu.ops.quant import dense as make_dense
+
         b, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
                          name="norm")(x.astype(jnp.float32)).astype(x.dtype)
         if self.linear_proj:
             h = h.reshape(b, hh * ww, c)
-            h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+            h = make_dense(self.quant, inner, dtype=self.dtype,
+                           name="proj_in")(h)
         else:
             h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h)
             h = h.reshape(b, hh * ww, inner)
         for d in range(self.depth):
             h = TransformerBlock(self.heads, self.dim_head, dtype=self.dtype,
+                                 quant=self.quant,
                                  name=f"block_{d}")(h, context=context)
         if self.linear_proj:
             h = nn.Dense(c, kernel_init=jax.nn.initializers.zeros,

@@ -409,7 +409,8 @@ def load_sd_checkpoint(path_or_state_dict, *,
                        vae_config: Optional[VAEConfig] = None,
                        text_encode: Optional[Callable] = None,
                        parameterization: Optional[str] = None,
-                       conditioning_key: Optional[str] = None
+                       conditioning_key: Optional[str] = None,
+                       quant: Optional[str] = None
                        ) -> LatentDiffusion:
     """Build a LatentDiffusion from a CompVis checkpoint: routes
     `model.diffusion_model.*` through convert_adm_unet and
@@ -431,6 +432,12 @@ def load_sd_checkpoint(path_or_state_dict, *,
     u_default, v_default, beta_kw, scale = _LDM_PRESETS[preset]
     unet_config = unet_config or u_default()
     vae_config = vae_config or v_default()
+    if quant is not None:
+        # int8 serving path (ops/quant.py): a config switch only — the
+        # converted param tree is identical either way
+        import dataclasses as _dc
+
+        unet_config = _dc.replace(unet_config, quant=quant)
 
     unet_sd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
                if k.startswith("model.diffusion_model.")}

@@ -183,6 +183,27 @@ def test_load_sd_checkpoint_routing():
     np.testing.assert_allclose(np.asarray(got_dec).transpose(0, 3, 1, 2),
                                want_dec, rtol=0, atol=3e-5)
 
+    # The same converted checkpoint must drop into the int8 serving stack
+    # (ops/quant.py) unchanged. The reference zero-initializes the UNet's
+    # output conv (zero_module), so a fresh-init forward is identically 0 —
+    # perturb the checkpoint to get a non-degenerate output, then compare
+    # the quantized stack to the float stack on identical weights.
+    prng = np.random.RandomState(7)
+    ckpt_p = {k: v + 0.05 * prng.randn(*v.shape).astype(v.dtype)
+              for k, v in ckpt.items()}
+    kw = dict(unet_config=ucfg, vae_config=vcfg,
+              text_encode=constant_context_encoder(24))
+    ldm_p = load_sd_checkpoint(ckpt_p, **kw)
+    ldm_q = load_sd_checkpoint(ckpt_p, quant="w8a8", **kw)
+    xt = jnp.asarray(x.transpose(0, 2, 3, 1))
+    got_p = np.asarray(ldm_p.apply_model(xt, jnp.asarray(t),
+                                         jnp.asarray(ctx)))
+    got_q = np.asarray(ldm_q.apply_model(xt, jnp.asarray(t),
+                                         jnp.asarray(ctx)))
+    assert np.mean(got_p ** 2) > 0
+    rel = np.sqrt(np.mean((got_q - got_p) ** 2) / np.mean(got_p ** 2))
+    assert rel < 0.1, rel
+
 
 def test_inpaint_end_to_end():
     """Masked resampling: the kept region is the original image exactly
