@@ -94,19 +94,24 @@ def main():
         return (time.perf_counter() - t0) / args.reps, np.asarray(out)
 
     dt_f, out_f = bench(None)
-    dt_q, out_q = bench("w8a8")
-    rel = float(np.sqrt(np.mean((out_q.astype(np.float64)
-                                 - out_f.astype(np.float64)) ** 2)
-                        / np.mean(out_f.astype(np.float64) ** 2)))
-    print(f"# bf16 {dt_f*1e3:.1f} ms/eval | w8a8 {dt_q*1e3:.1f} ms/eval "
-          f"({dt_f/dt_q:.3f}x) | rel out dev {rel:.4f}", file=sys.stderr)
+    rows = {"bf16_ms": round(dt_f * 1e3, 2)}
+    out_f64 = out_f.astype(np.float64)
+    for mode in ("w8a8", "w8a8_conv"):
+        dt_q, out_q = bench(mode)
+        rel = float(np.sqrt(np.mean((out_q.astype(np.float64)
+                                     - out_f64) ** 2)
+                            / np.mean(out_f64 ** 2)))
+        rows[mode] = {"ms": round(dt_q * 1e3, 2),
+                      "speedup_vs_bf16": round(dt_f / dt_q, 4),
+                      "rel_output_dev_vs_bf16": round(rel, 5)}
+        print(f"# bf16 {dt_f*1e3:.1f} ms/eval | {mode} {dt_q*1e3:.1f} "
+              f"ms/eval ({dt_f/dt_q:.3f}x) | rel out dev {rel:.4f}",
+              file=sys.stderr)
     print(json.dumps({
-        "metric": "sd21_unet_eval_w8a8_speedup",
-        "value": round(dt_f / dt_q, 4),
+        "metric": "sd21_unet_eval_int8_speedup",
+        "value": rows["w8a8_conv"]["speedup_vs_bf16"],
         "unit": "x_vs_bf16_same_session",
-        "bf16_ms": round(dt_f * 1e3, 2),
-        "w8a8_ms": round(dt_q * 1e3, 2),
-        "rel_output_dev_vs_bf16": round(rel, 5),
+        "modes": rows,
         "batch_cfg_doubled": b2,
         "latent": args.latent,
     }))

@@ -56,7 +56,7 @@ def main():
     p.add_argument("--tiny", action="store_true",
                    help="replace the 866M UNet with a structurally identical "
                         "small one (CPU smoke runs; numbers meaningless)")
-    p.add_argument("--quant", choices=["w8a8"], default=None,
+    p.add_argument("--quant", choices=["w8a8", "w8a8_conv"], default=None,
                    help="int8 dynamic-quantized transformer stack "
                         "(ops/quant.py); A/B against the default bf16 run "
                         "from the same session")

@@ -824,9 +824,9 @@ def main(argv=None):
                     help="local safety-checker torch checkpoint")
     xp.add_argument("--method", default="multistep",
                     choices=("multistep", "singlestep", "unipc"))
-    xp.add_argument("--quant", default=None, choices=("w8a8",),
-                    help="int8 dynamic-quantized transformer stack "
-                         "(serving; ops/quant.py)")
+    xp.add_argument("--quant", default=None, choices=("w8a8", "w8a8_conv"),
+                    help="int8 dynamic-quantized serving path: transformer "
+                         "stack, or transformer + conv trunk (ops/quant.py)")
     xp.set_defaults(fn=cmd_txt2img)
 
     for name, fn, extra in (

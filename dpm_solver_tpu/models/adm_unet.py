@@ -65,8 +65,9 @@ class ADMConfig:
     context_dim: Optional[int] = None
     use_linear_in_transformer: bool = False  # SD-2.x variant
     legacy: bool = True
-    # Serving-time int8 path for the transformer stack (None | "w8a8");
-    # param tree and checkpoints are unaffected (ops/quant.py).
+    # Serving-time int8 path (ops/quant.py): "w8a8" quantizes the
+    # transformer stack, "w8a8_conv" additionally the 3x3 conv trunk;
+    # param tree and checkpoints are unaffected either way.
     quant: Optional[str] = None
     # EncoderUNetModel only:
     pool: str = "adaptive"  # adaptive | attention | spatial | spatial_v2
@@ -229,6 +230,7 @@ class ADMResample(nn.Module):
     out_ch: Optional[int] = None
     with_conv: bool = True
     dtype: Any = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -236,7 +238,8 @@ class ADMResample(nn.Module):
         if self.direction == "up":
             x = _nearest_x2(x)
             if self.with_conv:
-                x = Conv3x3(out_ch, dtype=self.dtype, name="conv")(x)
+                x = Conv3x3(out_ch, dtype=self.dtype, quant=self.quant,
+                            name="conv")(x)
         elif self.with_conv:
             x = nn.Conv(out_ch, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)), dtype=self.dtype,
@@ -256,6 +259,7 @@ class ADMResBlock(nn.Module):
     conv_shortcut: bool = False
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, emb, *, deterministic=True):
@@ -266,7 +270,8 @@ class ADMResBlock(nn.Module):
             resample = _nearest_x2 if self.direction == "up" else _avgpool_x2
             h = resample(h)
             x = resample(x)
-        h = Conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, quant=self.quant,
+                    name="in_conv")(h)
         emb_width = 2 * out_ch if self.use_scale_shift_norm else out_ch
         e = nn.Dense(emb_width, dtype=self.dtype, name="emb_proj")(
             jax.nn.silu(emb))[:, None, None, :]
@@ -278,12 +283,13 @@ class ADMResBlock(nn.Module):
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = Conv3x3(out_ch, kernel_init=_zero_init(), dtype=self.dtype,
-                    name="out_conv")(h)
+                    quant=self.quant, name="out_conv")(h)
         # unlike the BigGAN block, ADM keeps an identity skip whenever the
         # channel count is unchanged — even for up/down blocks (unet.py:215-222)
         if c != out_ch:
             if self.conv_shortcut:
-                x = Conv3x3(out_ch, dtype=self.dtype, name="skip")(x)
+                x = Conv3x3(out_ch, dtype=self.dtype, quant=self.quant,
+                            name="skip")(x)
             else:
                 x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
         return x + h
@@ -473,7 +479,7 @@ class _ADMBase(nn.Module):
             return ADMResBlock(
                 out_ch=spec["out_ch"], direction=spec.get("direction"),
                 use_scale_shift_norm=cfg.use_scale_shift_norm,
-                dropout=cfg.dropout, dtype=dt, name=name)(
+                dropout=cfg.dropout, dtype=dt, quant=cfg.quant, name=name)(
                     h, emb, deterministic=deterministic)
         if kind == "attn":
             return ADMAttention(num_heads=spec["heads"],
@@ -490,7 +496,7 @@ class _ADMBase(nn.Module):
             return ADMResample(direction=spec["direction"],
                                out_ch=spec["out_ch"],
                                with_conv=spec["with_conv"], dtype=dt,
-                               name=name)(h)
+                               quant=cfg.quant, name=name)(h)
         raise ValueError(kind)
 
     def _embed(self, t):

@@ -77,7 +77,9 @@ class GEGLUFeedForward(nn.Module):
         inner = dim * self.mult
         w1, b1 = _LinParams(dim, 2 * inner, name="proj")()
         w2, b2 = _LinParams(inner, dim, name="out")()
-        if self.quant == "w8a8":
+        from dpm_solver_tpu.ops.quant import wants_dense_quant
+
+        if wants_dense_quant(self.quant):
             from dpm_solver_tpu.ops.quant import w8a8_geglu
 
             return w8a8_geglu(x.astype(self.dtype), w1, b1, w2, b2)

@@ -212,6 +212,7 @@ class Conv3x3(_nn.Module):
     dtype: jnp.dtype = jnp.float32
     kernel_init: object = None
     use_bias: bool = True
+    quant: Optional[str] = None
 
     @_nn.compact
     def __call__(self, x):
@@ -221,5 +222,11 @@ class Conv3x3(_nn.Module):
         bias = (self.param("bias", _nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
         x = x.astype(self.dtype)
+        from dpm_solver_tpu.ops.quant import wants_conv_quant
+
+        if wants_conv_quant(self.quant):
+            from dpm_solver_tpu.ops.quant import w8a8_conv
+
+            return w8a8_conv(x, kernel, bias)
         return conv3x3(x, kernel, None if bias is None
                        else bias.astype(self.dtype))

@@ -33,7 +33,18 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-QUANT_MODES = (None, "w8a8")
+QUANT_MODES = (None, "w8a8", "w8a8_conv")
+# "w8a8": transformer projections + GEGLU FF only.
+# "w8a8_conv": additionally the 3x3 conv trunk (per-tensor activation
+#              scales there — conv outputs mix spatial positions, so
+#              per-token scales cannot factor out).
+
+def wants_dense_quant(mode) -> bool:
+    return mode in ("w8a8", "w8a8_conv")
+
+
+def wants_conv_quant(mode) -> bool:
+    return mode == "w8a8_conv"
 
 
 def _absmax_scale(x: jnp.ndarray, axis, eps: float = 1e-12) -> jnp.ndarray:
@@ -72,6 +83,27 @@ def w8a8_matmul(x: jnp.ndarray, w: jnp.ndarray,
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.reshape(*lead, w.shape[1]).astype(out_dtype)
+
+
+def w8a8_conv(x: jnp.ndarray, w: jnp.ndarray,
+              bias: Optional[jnp.ndarray] = None,
+              strides=(1, 1), padding=((1, 1), (1, 1)),
+              out_dtype: Any = None) -> jnp.ndarray:
+    """NHWC x HWIO conv with per-tensor activation / per-out-channel weight
+    int8 scales, int32 MXU accumulation.  Zero-initialized kernels stay
+    bit-exact (all-zero channels quantize to 0 with the guarded scale)."""
+    out_dtype = out_dtype or x.dtype
+    xq, sx = quantize(x, axis=(1, 2, 3))        # per-image tensor scale
+    wq, sw = quantize(w, axis=(0, 1, 2))        # (1,1,1,CO)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (sx.reshape(-1, 1, 1, 1)
+                                     * sw.reshape(1, 1, 1, -1))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
 
 
 def w8a8_geglu(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
@@ -121,7 +153,7 @@ def dense(quant: Optional[str], features: int, *, use_bias: bool = True,
     """
     if quant not in QUANT_MODES:
         raise ValueError(f"Unknown quant mode {quant!r}; one of {QUANT_MODES}")
-    if quant == "w8a8" and kernel_init is None:
+    if wants_dense_quant(quant) and kernel_init is None:
         return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
     kwargs = dict(kernel_init=kernel_init) if kernel_init is not None else {}
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name,

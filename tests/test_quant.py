@@ -78,6 +78,36 @@ def test_w8a8_geglu_matches_float_path():
     assert rel < 0.05, rel
 
 
+def test_w8a8_conv_exact_on_representable_inputs():
+    """Per-image/per-channel scales pinned to 1 by +/-127 entries: the int8
+    conv must equal the fp32 conv exactly (wiring/layout check)."""
+    from dpm_solver_tpu.ops.quant import w8a8_conv
+
+    rng = np.random.default_rng(6)
+    x = rng.integers(-127, 128, size=(2, 8, 8, 16)).astype(np.float32)
+    w = rng.integers(-127, 128, size=(3, 3, 16, 24)).astype(np.float32)
+    x[:, 0, 0, 0] = 127
+    w[0, 0, 0, :] = 127
+    b = rng.standard_normal(24).astype(np.float32)
+    got = np.asarray(w8a8_conv(jnp.asarray(x), jnp.asarray(w),
+                               jnp.asarray(b)))
+    want = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))) + b
+    np.testing.assert_array_equal(got, want)
+
+
+def test_w8a8_conv_zero_kernel_exact():
+    """A zero-initialized kernel (the reference's zero_module residual
+    gates) must stay bit-exact through quantization."""
+    from dpm_solver_tpu.ops.quant import w8a8_conv
+
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((1, 4, 4, 8)),
+                    jnp.float32)
+    w = jnp.zeros((3, 3, 8, 8), jnp.float32)
+    assert np.all(np.asarray(w8a8_conv(x, w)) == 0)
+
+
 def test_quant_dense_param_tree_matches_nn_dense():
     import flax.linen as nn
 
@@ -139,9 +169,10 @@ def test_spatial_transformer_quant_shares_checkpoints():
     assert np.all(np.isfinite(out_q))
 
 
-def test_sd_unet_quant_forward():
-    """Tiny SD-style UNet end to end with config.quant='w8a8': same param
-    tree as the float config, close output, finite."""
+@pytest.mark.parametrize("mode", ["w8a8", "w8a8_conv"])
+def test_sd_unet_quant_forward(mode):
+    """Tiny SD-style UNet end to end with config.quant: same param tree as
+    the float config, close output, finite."""
     from dpm_solver_tpu.models.adm_unet import ADMConfig, ADMUNet
 
     base = dict(image_size=8, in_channels=4, model_channels=32,
@@ -151,7 +182,7 @@ def test_sd_unet_quant_forward():
                 transformer_depth=1, context_dim=24,
                 use_linear_in_transformer=True)
     cfg_f = ADMConfig(**base)
-    cfg_q = dataclasses.replace(cfg_f, quant="w8a8")
+    cfg_q = dataclasses.replace(cfg_f, quant=mode)
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
     t = jnp.asarray([3.0, 500.0])
