@@ -45,6 +45,10 @@ class VAEConfig:
     dropout: float = 0.0
     resamp_with_conv: bool = True
     tanh_out: bool = False
+    # Serving-time int8 conv path (ops/quant.py, mode "w8a8_conv"): res-block
+    # and resample 3x3 convs run W8A8; conv_in/conv_out (pixel boundary) and
+    # attention stay float. Param tree/checkpoints unchanged.
+    quant: Optional[str] = None
 
     @staticmethod
     def sd_v1() -> "VAEConfig":
@@ -89,16 +93,19 @@ class VAEResBlock(nn.Module):
     out_ch: Optional[int] = None
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic=True):
         c = x.shape[-1]
         out_ch = self.out_ch or c
         h = _swish(_norm("norm1")(x))
-        h = Conv3x3(out_ch, dtype=self.dtype, name="conv1")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, quant=self.quant,
+                    name="conv1")(h)
         h = _swish(_norm("norm2")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = Conv3x3(out_ch, dtype=self.dtype, name="conv2")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, quant=self.quant,
+                    name="conv2")(h)
         if c != out_ch:
             x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
@@ -138,6 +145,7 @@ class VAEEncoder(nn.Module):
         for i, mult in enumerate(cfg.ch_mult):
             for j in range(cfg.num_res_blocks):
                 h = VAEResBlock(cfg.ch * mult, cfg.dropout, dt,
+                                quant=cfg.quant,
                                 name=f"down_{i}_block_{j}")(
                     h, deterministic=deterministic)
                 if res in cfg.attn_resolutions:
@@ -152,11 +160,11 @@ class VAEEncoder(nn.Module):
                 else:
                     h = nn.avg_pool(h, (2, 2), strides=(2, 2))
                 res //= 2
-        h = VAEResBlock(None, cfg.dropout, dt, name="mid_block_1")(
-            h, deterministic=deterministic)
+        h = VAEResBlock(None, cfg.dropout, dt, quant=cfg.quant,
+                        name="mid_block_1")(h, deterministic=deterministic)
         h = VAEAttnBlock(dt, name="mid_attn_1")(h)
-        h = VAEResBlock(None, cfg.dropout, dt, name="mid_block_2")(
-            h, deterministic=deterministic)
+        h = VAEResBlock(None, cfg.dropout, dt, quant=cfg.quant,
+                        name="mid_block_2")(h, deterministic=deterministic)
         h = _swish(_norm("norm_out")(h))
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return Conv3x3(out_ch, dtype=dt, name="conv_out")(h)
@@ -175,14 +183,15 @@ class VAEDecoder(nn.Module):
         levels = len(cfg.ch_mult)
         res = cfg.resolution // 2 ** (levels - 1)
         h = Conv3x3(cfg.ch * cfg.ch_mult[-1], dtype=dt, name="conv_in")(z)
-        h = VAEResBlock(None, cfg.dropout, dt, name="mid_block_1")(
-            h, deterministic=deterministic)
+        h = VAEResBlock(None, cfg.dropout, dt, quant=cfg.quant,
+                        name="mid_block_1")(h, deterministic=deterministic)
         h = VAEAttnBlock(dt, name="mid_attn_1")(h)
-        h = VAEResBlock(None, cfg.dropout, dt, name="mid_block_2")(
-            h, deterministic=deterministic)
+        h = VAEResBlock(None, cfg.dropout, dt, quant=cfg.quant,
+                        name="mid_block_2")(h, deterministic=deterministic)
         for i in reversed(range(levels)):
             for j in range(cfg.num_res_blocks + 1):
                 h = VAEResBlock(cfg.ch * cfg.ch_mult[i], cfg.dropout, dt,
+                                quant=cfg.quant,
                                 name=f"up_{i}_block_{j}")(
                     h, deterministic=deterministic)
                 if res in cfg.attn_resolutions:
@@ -191,7 +200,8 @@ class VAEDecoder(nn.Module):
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, 2 * hh, 2 * ww, c), "nearest")
                 if cfg.resamp_with_conv:
-                    h = Conv3x3(c, dtype=dt, name=f"up_{i}_upsample")(h)
+                    h = Conv3x3(c, dtype=dt, quant=cfg.quant,
+                                name=f"up_{i}_upsample")(h)
                 res *= 2
         h = _swish(_norm("norm_out")(h))
         if return_trunk:

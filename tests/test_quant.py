@@ -169,6 +169,69 @@ def test_spatial_transformer_quant_shares_checkpoints():
     assert np.all(np.isfinite(out_q))
 
 
+def test_quant_sampler_sharded_matches_single_device():
+    """The int8 path under data-parallel GSPMD sharding on the 8-device CPU
+    mesh: all quantization scales are per-sample, so batch sharding changes
+    no math. Unlike the float sampler (1e-4-tight), tolerance here is the
+    quantization-flip scale: a differently-fused compilation can move an
+    activation across an int8 rounding boundary, flipping one level
+    (~amax/127 locally, measured 1.1e-3 at signal scale over 5 steps)."""
+    from dpm_solver_tpu import NoiseScheduleVP, build_sampler, model_wrapper
+    from dpm_solver_tpu.models.adm_unet import ADMConfig, ADMUNet
+    from dpm_solver_tpu.parallel import make_mesh, make_sharded_sampler
+
+    cfg = ADMConfig(image_size=8, in_channels=3, model_channels=32,
+                    out_channels=3, num_res_blocks=1,
+                    attention_resolutions=(2,), channel_mult=(1, 2),
+                    num_heads=2, use_spatial_transformer=True,
+                    transformer_depth=1, context_dim=24,
+                    use_linear_in_transformer=True, quant="w8a8_conv")
+    model = ADMUNet(config=cfg)
+    rng = np.random.default_rng(11)
+    ctx = jnp.asarray(rng.standard_normal((8, 7, 24)) * 0.3, jnp.float32)
+    params = _densify(model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,)),
+        context=ctx[:1]), scale=0.02)
+    ns = NoiseScheduleVP.discrete(
+        betas=jnp.asarray(np.linspace(1e-4, 2e-2, 1000)))
+    model_fn = model_wrapper(
+        lambda x, t: model.apply(params, x, t, context=ctx), ns,
+        model_type="noise")
+    fn = build_sampler(model_fn, ns, steps=5, order=2, method="multistep")
+    x_T = rng.standard_normal((8, 8, 8, 3)).astype(np.float32)
+
+    single = np.asarray(jax.jit(fn)(jnp.asarray(x_T)))
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = np.asarray(make_sharded_sampler(fn, mesh)(jnp.asarray(x_T)))
+    scale = max(1.0, np.abs(single).max())
+    np.testing.assert_allclose(sharded / scale, single / scale,
+                               rtol=0, atol=5e-3)
+    assert np.all(np.isfinite(single))
+
+
+def test_vae_decoder_quant_shares_checkpoints():
+    """AutoencoderKL with quant='w8a8_conv': res-block/upsample convs run
+    int8, conv_in/conv_out + attention stay float, param tree unchanged, and
+    the decode output tracks the float decode to quantization noise."""
+    from dpm_solver_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    cfg_f = VAEConfig.tiny()
+    cfg_q = dataclasses.replace(cfg_f, quant="w8a8_conv")
+    vae_f, vae_q = AutoencoderKL(config=cfg_f), AutoencoderKL(config=cfg_q)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)) * 0.5, jnp.float32)
+    params = _densify(vae_f.init(jax.random.PRNGKey(0), x), scale=0.02)
+    p_q = vae_q.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(p_q)
+            == jax.tree_util.tree_structure(params))
+    z = jnp.asarray(rng.standard_normal((2, 16, 16, 4)), jnp.float32)
+    dec_f = np.asarray(vae_f.apply(params, z, method="decode"))
+    dec_q = np.asarray(vae_q.apply(params, z, method="decode"))
+    assert np.all(np.isfinite(dec_q))
+    rel = np.sqrt(np.mean((dec_q - dec_f) ** 2) / np.mean(dec_f ** 2))
+    assert rel < 0.1, rel
+
+
 @pytest.mark.parametrize("mode", ["w8a8", "w8a8_conv"])
 def test_sd_unet_quant_forward(mode):
     """Tiny SD-style UNet end to end with config.quant: same param tree as
