@@ -24,13 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:  # persistent compile cache: repeat runs start in seconds (TPU only)
-    from benchmarks._cache import enable_compile_cache
-
-    enable_compile_cache()
-except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
-    pass
-
 BATCH = 64
 STEPS = 10
 REPS = 5
@@ -146,9 +139,41 @@ def model_eval_flops(raw_model, x_T):
         return 0.0
 
 
+def _device_health_check(timeout_s: int = 300) -> None:
+    """The tunneled TPU's failure mode is a HANG on first device use (see
+    CLAUDE.md), which would wedge this bench indefinitely. Probe a tiny
+    matmul in a subprocess with a hard timeout and exit(1) with a clear
+    message instead of hanging; prints nothing on the happy path."""
+    import subprocess
+
+    src = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128));"
+           " print('OK', float((x @ x).ravel()[0]))")
+    try:
+        r = subprocess.run([sys.executable, "-c", src], capture_output=True,
+                           text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print("# bench aborted: device health probe hung "
+              f"({timeout_s}s) — tunnel down; retry later", file=sys.stderr)
+        raise SystemExit(1)
+    if r.returncode != 0 or "OK 128.0" not in r.stdout:
+        print("# bench aborted: device health probe failed:\n"
+              + (r.stdout + r.stderr)[-500:], file=sys.stderr)
+        raise SystemExit(1)
+
+
 def main():
     from dpm_solver_tpu import NoiseScheduleVP
 
+    # Health check FIRST: anything that initializes the jax backend
+    # (including jax.default_backend() in the cache helper) hangs forever
+    # when the tunnel is down.
+    _device_health_check()
+    try:  # persistent compile cache: repeat runs start in seconds (TPU only)
+        from benchmarks._cache import enable_compile_cache
+
+        enable_compile_cache()
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
     betas = np.linspace(1e-4, 0.02, 1000)
     ns = NoiseScheduleVP.discrete(betas=betas)
     raw_model = build_model()
