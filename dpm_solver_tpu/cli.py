@@ -26,16 +26,18 @@ import numpy as np
 
 
 def _save_images(arr: np.ndarray, outdir: str, prefix: str = "sample"):
-    """[B,H,W,C] floats in [0,1] -> PNGs (PIL) + one npz."""
+    """[B,H,W,C] floats in [0,1] -> PNGs + one npz. Encoding runs through
+    the native threaded writer (dpm_solver_tpu.native; the 50k-sample FID
+    protocol of ref runners/diffusion.py:450-457 is PNG-write-bound on the
+    host), with a PIL fallback inside write_png_batch."""
     os.makedirs(outdir, exist_ok=True)
     np.savez(os.path.join(outdir, f"{prefix}.npz"), samples=arr)
-    try:
-        from PIL import Image
-    except ImportError:
-        return
-    for i, img in enumerate((arr * 255).clip(0, 255).astype(np.uint8)):
-        Image.fromarray(img.squeeze()).save(
-            os.path.join(outdir, f"{prefix}_{i:05d}.png"))
+    from dpm_solver_tpu import native
+
+    imgs = (arr * 255).clip(0, 255).astype(np.uint8)
+    paths = [os.path.join(outdir, f"{prefix}_{i:05d}.png")
+             for i in range(len(imgs))]
+    native.write_png_batch(imgs, paths)
 
 
 def _build_sampler_from_config(config, params, model, *, labels=None,

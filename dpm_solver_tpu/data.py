@@ -180,6 +180,149 @@ def tfrecord_dataset(path, *, resolution: int, batch_size: int,
     return ds.batch(batch_size, drop_remainder=True).prefetch(tf.data.AUTOTUNE)
 
 
+def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
+    """Run `it` on a worker thread with a bounded queue — the host-side
+    equivalent of tf.data's `.prefetch(depth)`, so batch prep overlaps the
+    accelerator step. Exceptions propagate to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+            q.put((sentinel, e))
+            return
+        q.put((sentinel, None))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is sentinel:
+            if item[1] is not None:
+                raise item[1]
+            return
+        yield item
+
+
+def tfrecord_dataset_native(paths, *, resolution: int, batch_size: int,
+                            image_key: str = "data",
+                            shape_key: Optional[str] = "shape",
+                            label_key: Optional[str] = None,
+                            uniform_dequantization: bool = False,
+                            centered: bool = False,
+                            random_flip: bool = False,
+                            shuffle: bool = True, repeat: bool = True,
+                            seed: int = 0, prefetch: int = 2):
+    """TensorFlow-free twin of `tfrecord_dataset`/`tfds_dataset` built on
+    the native host-IO runtime (dpm_solver_tpu.native): mmap + CRC32C
+    record indexing and a wire-format Example walker in C++, PIL for
+    encoded-image payloads. Two record layouts, as in the reference:
+
+      * raw CHW tensors: {'shape': int64[3], 'data': raw bytes} — the
+        FFHQ/CelebAHQ format (ref score_sde_jax/datasets.py:151-171);
+        pass shape_key='shape'.
+      * encoded images: {image_key: png/jpeg bytes[, label]} — the
+        prepared-TFDS format; pass shape_key=None.
+
+    Yields [B, H, W, C] float32 batches in model space (or
+    {'image', 'label'} dicts when label_key is set); infinite when repeat.
+    """
+    from dpm_solver_tpu import native
+
+    if isinstance(paths, str):
+        paths = [paths]
+    index = []  # (path_idx, offset, length)
+    for pi, p in enumerate(paths):
+        offs, lens = native.tfrecord_index(p)
+        index.extend((pi, int(o), int(n)) for o, n in zip(offs, lens))
+    if not index:
+        raise FileNotFoundError(f"no records under {paths}")
+    blobs = [np.memmap(p, np.uint8, mode="r") for p in paths]
+    rng = np.random.default_rng(seed)
+
+    def decode(rec: bytes) -> np.ndarray:
+        if shape_key is not None:
+            shape = _example_int64_list(rec, shape_key)  # C,H,W
+            img = np.frombuffer(native.example_bytes(rec, image_key),
+                                np.uint8).reshape(shape)
+            img = np.transpose(img, (1, 2, 0))  # CHW -> HWC
+        else:
+            import io as _io
+
+            from PIL import Image
+
+            img = np.asarray(Image.open(_io.BytesIO(
+                bytes(native.example_bytes(rec, image_key)))).convert("RGB"))
+        if resolution and img.shape[:2] != (resolution, resolution):
+            from PIL import Image
+
+            img = np.asarray(Image.fromarray(img).resize(
+                (resolution, resolution), Image.BILINEAR))
+        return img
+
+    def epochs():
+        while True:
+            order = rng.permutation(len(index)) if shuffle \
+                else np.arange(len(index))
+            buf_img, buf_lbl = [], []
+            for i in order:
+                pi, off, length = index[i]
+                rec = bytes(blobs[pi][off:off + length])
+                img = decode(rec).astype(np.float32) / 255.0
+                if random_flip and rng.random() < 0.5:
+                    img = img[:, ::-1]
+                if uniform_dequantization:
+                    img = (rng.random(img.shape, np.float32)
+                           + img * 255.0) / 256.0
+                if centered:
+                    img = img * 2.0 - 1.0
+                buf_img.append(img)
+                if label_key is not None:
+                    buf_lbl.append(native.example_int64(rec, label_key))
+                if len(buf_img) == batch_size:
+                    batch = np.stack(buf_img)
+                    if label_key is not None:
+                        yield {"image": batch,
+                               "label": np.asarray(buf_lbl, np.int64)}
+                    else:
+                        yield batch
+                    buf_img, buf_lbl = [], []
+            if not repeat:
+                return
+
+    return prefetch_iterator(epochs(), depth=prefetch)
+
+
+def _example_int64_list(rec: bytes, key: str):
+    """All int64 values of a feature (the raw-tensor format stores the CHW
+    shape as a 3-vector)."""
+    from dpm_solver_tpu import native as _n
+
+    rec = bytes(rec)
+    span = _n._find_feature_py(rec, key)
+    if span is None:
+        raise KeyError(key)
+    vals = []
+    for f, wire, v, s, e in _n._walk_fields(rec, *span):
+        if f == 3 and wire == 2:  # Int64List
+            for lf, lw, lv, ls, le in _n._walk_fields(rec, s, e):
+                if lf == 1 and lw == 0:
+                    vals.append(lv)
+                elif lf == 1 and lw == 2:  # packed
+                    i = ls
+                    while i < le:
+                        pv, i = _n._varint(rec, i)
+                        vals.append(pv)
+    if not vals:
+        raise KeyError(key)
+    return vals
+
+
 def lsun_dataset(root: str, *, resolution: int, batch_size: int,
                  centered: bool = False, random_flip: bool = True,
                  shuffle: bool = True, repeat: bool = True, seed: int = 0):

@@ -165,15 +165,28 @@ def compute_statistics_of_path(path: str, feature_fn, *, batch_size: int = 50):
             batches = [arr[i:i + batch_size]
                        for i in range(0, len(arr), batch_size)]
     else:
-        from PIL import Image
-
         files = sorted(
             os.path.join(path, f) for f in os.listdir(path)
             if f.lower().endswith((".png", ".jpg", ".jpeg")))
         if not files:
             raise FileNotFoundError(f"no images under {path}")
+        all_png = all(f.lower().endswith(".png") for f in files)
 
         def gen():
+            if all_png:
+                # native threaded batch decode (dpm_solver_tpu.native);
+                # the reference reads its 50k-file FID folders through a
+                # torch DataLoader for the same reason
+                # (evaluate/fid_score.py:146-170: ImagePathDataset+workers)
+                from dpm_solver_tpu import native
+
+                for i in range(0, len(files), batch_size):
+                    chunk = native.read_png_batch(files[i:i + batch_size],
+                                                  channels=3)
+                    yield chunk.astype(np.float32) / 255.0
+                return
+            from PIL import Image
+
             buf = []
             for f in files:
                 buf.append(np.asarray(Image.open(f).convert("RGB"),
