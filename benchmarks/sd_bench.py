@@ -120,8 +120,10 @@ def main():
     if args.skip_vae:
         pipe = jit_hoisting_constants(fn, x_T)
     else:
-        vae = AutoencoderKL(config=VAEConfig.sd_v1(),
-                            dtype=jnp.bfloat16)
+        vcfg = VAEConfig.sd_v1()
+        if args.quant:
+            vcfg = dataclasses.replace(vcfg, quant=args.quant)
+        vae = AutoencoderKL(config=vcfg, dtype=jnp.bfloat16)
         vae_params = jax.jit(lambda r: vae.init(
             r, jnp.zeros((1, 8 * args.latent, 8 * args.latent, 3))))(
                 jax.random.key(1))

@@ -434,10 +434,12 @@ def load_sd_checkpoint(path_or_state_dict, *,
     vae_config = vae_config or v_default()
     if quant is not None:
         # int8 serving path (ops/quant.py): a config switch only — the
-        # converted param tree is identical either way
+        # converted param tree is identical either way. Covers the UNet and
+        # (under w8a8_conv) the VAE conv trunk.
         import dataclasses as _dc
 
         unet_config = _dc.replace(unet_config, quant=quant)
+        vae_config = _dc.replace(vae_config, quant=quant)
 
     unet_sd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
                if k.startswith("model.diffusion_model.")}

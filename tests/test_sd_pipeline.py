@@ -204,6 +204,16 @@ def test_load_sd_checkpoint_routing():
     rel = np.sqrt(np.mean((got_q - got_p) ** 2) / np.mean(got_p ** 2))
     assert rel < 0.1, rel
 
+    # w8a8_conv reaches the VAE conv trunk through the loader too: the int8
+    # decode must track the float decode to quantization noise.
+    ldm_qc = load_sd_checkpoint(ckpt_p, quant="w8a8_conv", **kw)
+    zl = jnp.asarray(z.transpose(0, 2, 3, 1)) * ldm_p.scale_factor
+    dec_p = np.asarray(ldm_p.decode_first_stage(zl))
+    dec_qc = np.asarray(ldm_qc.decode_first_stage(zl))
+    assert np.all(np.isfinite(dec_qc))
+    relv = np.sqrt(np.mean((dec_qc - dec_p) ** 2) / np.mean(dec_p ** 2))
+    assert relv < 0.1, relv
+
 
 def test_inpaint_end_to_end():
     """Masked resampling: the kept region is the original image exactly
