@@ -245,19 +245,17 @@ def tfrecord_dataset_native(paths, *, resolution: int, batch_size: int,
     blobs = [np.memmap(p, np.uint8, mode="r") for p in paths]
     rng = np.random.default_rng(seed)
 
-    def decode(rec: bytes) -> np.ndarray:
-        if shape_key is not None:
-            shape = _example_int64_list(rec, shape_key)  # C,H,W
-            img = np.frombuffer(native.example_bytes(rec, image_key),
-                                np.uint8).reshape(shape)
-            img = np.transpose(img, (1, 2, 0))  # CHW -> HWC
-        else:
-            import io as _io
+    def decode_raw(rec: bytes) -> np.ndarray:
+        shape = _example_int64_list(rec, shape_key)  # C,H,W
+        img = np.frombuffer(native.example_bytes(rec, image_key),
+                            np.uint8).reshape(shape)
+        return np.transpose(img, (1, 2, 0))  # CHW -> HWC
 
-            from PIL import Image
+    def decode_encoded_batch(payloads) -> np.ndarray:
+        h, w, c, _ = native.image_probe_mem(payloads[0])
+        return native.decode_image_batch(payloads, h, w, min(c, 3))
 
-            img = np.asarray(Image.open(_io.BytesIO(
-                bytes(native.example_bytes(rec, image_key)))).convert("RGB"))
+    def maybe_resize(img: np.ndarray) -> np.ndarray:
         if resolution and img.shape[:2] != (resolution, resolution):
             from PIL import Image
 
@@ -265,33 +263,41 @@ def tfrecord_dataset_native(paths, *, resolution: int, batch_size: int,
                 (resolution, resolution), Image.BILINEAR))
         return img
 
+    def finish(batch_u8, labels):
+        """uint8 [B,H,W,C] -> model space with the reference pipeline's
+        dequant/flip/scaling semantics (score_sde_jax/datasets.py:173-199)."""
+        batch = np.stack([maybe_resize(im) for im in batch_u8]) \
+            .astype(np.float32) / 255.0
+        if random_flip:
+            flips = rng.random(len(batch)) < 0.5
+            batch[flips] = batch[flips, :, ::-1]
+        if uniform_dequantization:
+            batch = (rng.random(batch.shape).astype(np.float32)
+                     + batch * 255.0) / 256.0
+        if centered:
+            batch = batch * 2.0 - 1.0
+        if label_key is not None:
+            return {"image": batch, "label": np.asarray(labels, np.int64)}
+        return batch
+
     def epochs():
         while True:
             order = rng.permutation(len(index)) if shuffle \
                 else np.arange(len(index))
-            buf_img, buf_lbl = [], []
-            for i in order:
-                pi, off, length = index[i]
-                rec = bytes(blobs[pi][off:off + length])
-                img = decode(rec).astype(np.float32) / 255.0
-                if random_flip and rng.random() < 0.5:
-                    img = img[:, ::-1]
-                if uniform_dequantization:
-                    img = (rng.random(img.shape, np.float32)
-                           + img * 255.0) / 256.0
-                if centered:
-                    img = img * 2.0 - 1.0
-                buf_img.append(img)
-                if label_key is not None:
-                    buf_lbl.append(native.example_int64(rec, label_key))
-                if len(buf_img) == batch_size:
-                    batch = np.stack(buf_img)
-                    if label_key is not None:
-                        yield {"image": batch,
-                               "label": np.asarray(buf_lbl, np.int64)}
-                    else:
-                        yield batch
-                    buf_img, buf_lbl = [], []
+            for b0 in range(0, len(order) - batch_size + 1, batch_size):
+                recs = []
+                for i in order[b0:b0 + batch_size]:
+                    pi, off, length = index[i]
+                    recs.append(bytes(blobs[pi][off:off + length]))
+                labels = ([native.example_int64(r, label_key) for r in recs]
+                          if label_key is not None else None)
+                if shape_key is not None:
+                    imgs = [decode_raw(r) for r in recs]
+                else:
+                    payloads = [bytes(native.example_bytes(r, image_key))
+                                for r in recs]
+                    imgs = decode_encoded_batch(payloads)
+                yield finish(imgs, labels)
             if not repeat:
                 return
 

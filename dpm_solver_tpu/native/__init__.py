@@ -61,6 +61,12 @@ def _load():
         lib.dpm_tfrecord_index.restype = i64
         lib.dpm_tfrecord_index.argtypes = [ctypes.c_char_p, i64p, i64p, i64,
                                            ctypes.c_int]
+        lib.dpm_image_probe_mem.restype = ctypes.c_int
+        lib.dpm_image_probe_mem.argtypes = [u8p, i64, i64p, i64p, i64p,
+                                            ctypes.POINTER(ctypes.c_int)]
+        lib.dpm_decode_mem_batch.restype = ctypes.c_int
+        lib.dpm_decode_mem_batch.argtypes = [u8p, i64p, i64p, i64, u8p, i64,
+                                             i64, i64, ctypes.c_int]
         lib.dpm_example_find_bytes.restype = ctypes.c_int
         lib.dpm_example_find_bytes.argtypes = [u8p, i64, ctypes.c_char_p,
                                                i64, i64p, i64p]
@@ -158,6 +164,61 @@ def read_png_batch(paths: Sequence[str], channels: Optional[int] = None,
     if fails:
         raise IOError(f"png read failed for {fails}/{len(paths)} files "
                       f"(mixed sizes? first file is {h}x{w})")
+    return out
+
+
+def image_probe_mem(data: bytes) -> Tuple[int, int, int, str]:
+    """(h, w, c, kind) of an in-memory encoded PNG/JPEG payload."""
+    lib = _load()
+    if lib is None:
+        import io as _io
+
+        from PIL import Image
+
+        with Image.open(_io.BytesIO(bytes(data))) as im:
+            return im.height, im.width, len(im.getbands()), \
+                im.format.lower() if im.format else "unknown"
+    arr = np.frombuffer(data, np.uint8)
+    h, w, c = ctypes.c_int64(), ctypes.c_int64(), ctypes.c_int64()
+    kind = ctypes.c_int()
+    if lib.dpm_image_probe_mem(_u8ptr(arr), arr.size, ctypes.byref(h),
+                               ctypes.byref(w), ctypes.byref(c),
+                               ctypes.byref(kind)):
+        raise IOError("cannot probe encoded image")
+    return h.value, w.value, c.value, {1: "png", 2: "jpeg"}.get(kind.value,
+                                                                "unknown")
+
+
+def decode_image_batch(payloads: Sequence[bytes], h: int, w: int, c: int,
+                       threads: Optional[int] = None) -> np.ndarray:
+    """Decode in-memory PNG/JPEG payloads (all HxW, normalized to c
+    channels) into a uint8 (N,H,W,C) batch on a thread pool — the native
+    twin of tf.image.decode_image in the reference's input pipeline
+    (score_sde_jax/datasets.py:139). JPEG sources require c in {1, 3}."""
+    n = len(payloads)
+    if n == 0:
+        return np.zeros((0, h, w, c), np.uint8)
+    lib = _load()
+    if lib is None:
+        import io as _io
+
+        from PIL import Image
+
+        mode = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[c]
+        return np.stack([
+            np.asarray(Image.open(_io.BytesIO(bytes(p))).convert(mode))
+            .reshape(h, w, c) for p in payloads])
+    lens = np.asarray([len(p) for p in payloads], np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    blob = np.frombuffer(b"".join(bytes(p) for p in payloads), np.uint8)
+    out = np.empty((n, h, w, c), np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    fails = lib.dpm_decode_mem_batch(
+        _u8ptr(blob), offs.ctypes.data_as(i64p), lens.ctypes.data_as(i64p),
+        n, _u8ptr(out), h, w, c, threads or _default_threads())
+    if fails:
+        raise IOError(f"in-memory decode failed for {fails}/{n} payloads "
+                      f"(mixed sizes, or JPEG with c not in {{1,3}}?)")
     return out
 
 

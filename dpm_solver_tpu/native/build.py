@@ -36,7 +36,7 @@ def ensure_built(quiet: bool = True) -> str:
     if os.path.exists(out):
         return out
     cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-pthread",
-           SRC, "-o", out + ".tmp", "-lpng", "-lz"]
+           SRC, "-o", out + ".tmp", "-lpng", "-ljpeg", "-lz"]
     subprocess.run(cmd, check=True,
                    capture_output=quiet)
     os.replace(out + ".tmp", out)  # atomic vs concurrent builders

@@ -23,6 +23,11 @@
 #include <png.h>
 #include <zlib.h>
 
+#include <csetjmp>
+#include <cstdio>
+
+#include <jpeglib.h>
+
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -209,6 +214,136 @@ int read_one_png(int64_t i, void* vctx) {
   return 0;
 }
 
+// ------------------------------------------------- in-memory image decode
+// Decodes encoded PNG/JPEG payloads straight out of TFRecord Example
+// buffers — the native twin of tf.image.decode_image inside the
+// reference's input pipeline (score_sde_jax/datasets.py:139).
+
+struct MemReader {
+  const uint8_t* p;
+  size_t n;
+  size_t pos;
+};
+
+void png_mem_read(png_structp png, png_bytep out, png_size_t count) {
+  auto* r = static_cast<MemReader*>(png_get_io_ptr(png));
+  if (r->pos + count > r->n) {
+    png_error(png, "read past end");
+    return;
+  }
+  std::memcpy(out, r->p + r->pos, count);
+  r->pos += count;
+}
+
+bool is_png(const uint8_t* p, size_t n) {
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n'};
+  return n >= 8 && std::memcmp(p, sig, 8) == 0;
+}
+
+bool is_jpeg(const uint8_t* p, size_t n) {
+  return n >= 2 && p[0] == 0xFF && p[1] == 0xD8;
+}
+
+// Decode one in-memory PNG into out (h*w*c uint8, caller-checked dims).
+int decode_png_mem(const uint8_t* buf, size_t n, uint8_t* out, int64_t h,
+                   int64_t w, int64_t c) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    return 1;
+  }
+  MemReader reader{buf, n, 0};
+  png_set_read_fn(png, &reader, png_mem_read);
+  png_read_info(png, info);
+  png_set_palette_to_rgb(png);
+  png_set_expand_gray_1_2_4_to_8(png);
+  png_set_strip_16(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  int color = png_get_color_type(png, info);
+  if (c >= 3 && (color == PNG_COLOR_TYPE_GRAY ||
+                 color == PNG_COLOR_TYPE_GRAY_ALPHA))
+    png_set_gray_to_rgb(png);
+  if (c <= 2 && (color == PNG_COLOR_TYPE_RGB ||
+                 color == PNG_COLOR_TYPE_RGB_ALPHA ||
+                 color == PNG_COLOR_TYPE_PALETTE))
+    png_set_rgb_to_gray_fixed(png, 1, -1, -1);
+  if (c == 1 || c == 3) png_set_strip_alpha(png);
+  if (c == 2 || c == 4) png_set_add_alpha(png, 0xFF, PNG_FILLER_AFTER);
+  png_read_update_info(png, info);
+  if (png_get_image_width(png, info) != static_cast<png_uint_32>(w) ||
+      png_get_image_height(png, info) != static_cast<png_uint_32>(h) ||
+      png_get_channels(png, info) != static_cast<png_byte>(c)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 1;
+  }
+  std::vector<png_bytep> rows(h);
+  for (int64_t r = 0; r < h; ++r) rows[r] = out + r * w * c;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jmp;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  std::longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jmp, 1);
+}
+
+int decode_jpeg_mem(const uint8_t* buf, size_t n, uint8_t* out, int64_t h,
+                    int64_t w, int64_t c) {
+  if (c != 1 && c != 3) return 1;  // libjpeg emits GRAY or RGB
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(err.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), n);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = (c == 1) ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  if (cinfo.output_width != static_cast<JDIMENSION>(w) ||
+      cinfo.output_height != static_cast<JDIMENSION>(h) ||
+      cinfo.output_components != c) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + int64_t(cinfo.output_scanline) * w * c;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+struct MemDecodeCtx {
+  const uint8_t* blob;
+  const int64_t* offs;
+  const int64_t* lens;
+  uint8_t* out;
+  int64_t h, w, c;
+};
+
+int decode_one_mem(int64_t i, void* vctx) {
+  auto* ctx = static_cast<MemDecodeCtx*>(vctx);
+  const uint8_t* p = ctx->blob + ctx->offs[i];
+  size_t n = static_cast<size_t>(ctx->lens[i]);
+  uint8_t* out = ctx->out + i * ctx->h * ctx->w * ctx->c;
+  if (is_png(p, n)) return decode_png_mem(p, n, out, ctx->h, ctx->w, ctx->c);
+  if (is_jpeg(p, n))
+    return decode_jpeg_mem(p, n, out, ctx->h, ctx->w, ctx->c);
+  return 1;
+}
+
 // --------------------------------------------------------- protobuf walking
 // Enough of the wire format to navigate tf.train.Example:
 //   Example{ Features features=1 } ; Features{ map<string,Feature> feature=1 }
@@ -362,6 +497,66 @@ int dpm_png_read_batch(const char** paths, int64_t n, uint8_t* out, int64_t h,
                        int64_t w, int64_t c, int threads) {
   PngReadCtx ctx{paths, out, h, w, c};
   return parallel_for(n, threads, read_one_png, &ctx);
+}
+
+// Probe an in-memory encoded image (PNG or JPEG). kind: 1=png, 2=jpeg.
+// Returns 0 on success.
+int dpm_image_probe_mem(const uint8_t* buf, int64_t n, int64_t* h, int64_t* w,
+                        int64_t* c, int* kind) {
+  size_t sn = static_cast<size_t>(n);
+  if (is_png(buf, sn)) {
+    *kind = 1;
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (!png || !info || setjmp(png_jmpbuf(png))) {
+      if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+      return 1;
+    }
+    MemReader reader{buf, sn, 0};
+    png_set_read_fn(png, &reader, png_mem_read);
+    png_read_info(png, info);
+    *h = png_get_image_height(png, info);
+    *w = png_get_image_width(png, info);
+    int color = png_get_color_type(png, info);
+    *c = (color == PNG_COLOR_TYPE_GRAY) ? 1
+         : (color == PNG_COLOR_TYPE_GRAY_ALPHA) ? 2
+         : (color == PNG_COLOR_TYPE_RGB_ALPHA) ? 4
+                                               : 3;
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 0;
+  }
+  if (is_jpeg(buf, sn)) {
+    *kind = 2;
+    jpeg_decompress_struct cinfo;
+    JpegErr err;
+    cinfo.err = jpeg_std_error(&err.mgr);
+    err.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(err.jmp)) {
+      jpeg_destroy_decompress(&cinfo);
+      return 1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf),
+                 static_cast<unsigned long>(sn));
+    jpeg_read_header(&cinfo, TRUE);
+    *h = cinfo.image_height;
+    *w = cinfo.image_width;
+    *c = cinfo.num_components;
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  return 1;
+}
+
+// Decode n encoded images (PNG/JPEG payloads at blob+offs[i], lens[i] bytes
+// each; all decoding to HxWxC after channel normalization) into out.
+// Returns the number of failures.
+int dpm_decode_mem_batch(const uint8_t* blob, const int64_t* offs,
+                         const int64_t* lens, int64_t n, uint8_t* out,
+                         int64_t h, int64_t w, int64_t c, int threads) {
+  MemDecodeCtx ctx{blob, offs, lens, out, h, w, c};
+  return parallel_for(n, threads, decode_one_mem, &ctx);
 }
 
 // Index a TFRecord file: fill offsets[]/lengths[] (payload byte ranges) up

@@ -65,6 +65,38 @@ def test_png_write_3d_batch(tmp_path):
         native.read_png_batch(paths)[..., 0], imgs)
 
 
+def test_decode_image_batch_png_and_jpeg(tmp_path):
+    """In-memory batch decode: PNG bit-exact round trip; JPEG matches PIL's
+    decode of the same payload exactly (same libjpeg underneath)."""
+    import io as _io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, size=(4, 12, 14, 3), dtype=np.uint8)
+    png_payloads = []
+    for im in imgs:
+        buf = _io.BytesIO()
+        Image.fromarray(im).save(buf, format="PNG")
+        png_payloads.append(buf.getvalue())
+    h, w, c, kind = native.image_probe_mem(png_payloads[0])
+    assert (h, w, c, kind) == (12, 14, 3, "png")
+    out = native.decode_image_batch(png_payloads, 12, 14, 3)
+    np.testing.assert_array_equal(out, imgs)
+
+    jpg = _io.BytesIO()
+    Image.fromarray(imgs[0]).save(jpg, format="JPEG", quality=90)
+    payload = jpg.getvalue()
+    h, w, c, kind = native.image_probe_mem(payload)
+    assert (h, w, c, kind) == (12, 14, 3, "jpeg")
+    ours = native.decode_image_batch([payload], 12, 14, 3)[0]
+    pils = np.asarray(Image.open(_io.BytesIO(payload)).convert("RGB"))
+    np.testing.assert_array_equal(ours, pils)
+
+    with pytest.raises(IOError):
+        native.decode_image_batch([b"not an image"], 4, 4, 3)
+
+
 def _write_tfrecord(path, payloads):
     """Hand-rolled writer using the native crc32c (independent of tf), so
     framing tests run even where tf import is slow."""
