@@ -43,6 +43,21 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
 
 
+def _erf_kernel(x):
+    """erf for inside the Pallas kernel: Mosaic has no erf lowering
+    (NotImplementedError on the real chip), so use Abramowitz–Stegun
+    7.1.26 (max abs err 1.5e-7 — invisible under the kernel's 1e-4
+    parity tolerance and the bf16 output cast)."""
+    t = 1.0 / (1.0 + 0.3275911 * jnp.abs(x))
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-x * x))
+
+
+def _gelu_exact_in_kernel(x):
+    return 0.5 * x * (1.0 + _erf_kernel(x * (2.0 ** -0.5)))
+
+
 def _kernel(x_ref, wh_ref, bh_ref, wg_ref, bg_ref, w2_ref, b2_ref,
             o_ref, acc_ref, *, n_i: int):
     i = pl.program_id(1)
@@ -58,7 +73,7 @@ def _kernel(x_ref, wh_ref, bh_ref, wg_ref, bg_ref, w2_ref, b2_ref,
                             preferred_element_type=jnp.float32)
     h = h + bh_ref[...]
     g = g + bg_ref[...]
-    hg = (h * _gelu_exact(g)).astype(xv.dtype)
+    hg = (h * _gelu_exact_in_kernel(g)).astype(xv.dtype)
     acc_ref[...] += jax.lax.dot_general(
         hg, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
