@@ -141,16 +141,26 @@ def main():
     # counts a scan body once so the per-trajectory count must be
     # assembled. Params as jit ARGUMENTS (closure constants exceed the
     # tunnel's remote-compile payload limit, HTTP 413).
-    try:
-        c = jax.jit(lambda pp, xx, tt: model.apply(
+    def _eval_flops(mdl):
+        c = jax.jit(lambda pp, xx, tt: mdl.apply(
             pp, xx, tt * 999.0, deterministic=True)).lower(
                 params, x_T, jnp.ones((args.batch,))).compile()
         ca = c.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
-        flops = args.steps * float(ca.get("flops", 0.0))
-    except Exception as e:  # noqa: BLE001
-        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
-        flops = 0.0
+        return float(ca.get("flops", 0.0))
+
+    per_eval = 0.0
+    for mdl in (model, NCSNpp(config=cfg, compute_dtype=jnp.float32)):
+        # op count is dtype-independent, so if the requested-dtype program
+        # yields no flops (seen for bf16 through the tunnel) count the
+        # fp32 twin instead
+        try:
+            per_eval = _eval_flops(mdl)
+        except Exception as e:  # noqa: BLE001
+            print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+        if per_eval > 0.0:
+            break
+    flops = args.steps * per_eval
     peak = None if jax.devices()[0].platform == "cpu" else 197e12  # v5e bf16
     tfs = flops / t_ours / 1e12
 

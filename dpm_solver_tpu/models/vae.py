@@ -9,9 +9,11 @@ Behavioral twin of the reference LDM VAE:
 
 TPU-first: NHWC, the single-head mid attention runs as one fused (C,3C)
 token matmul + batched einsums (the reference does three 1x1 convs and two
-`torch.bmm`s in NCHW), GroupNorm statistics in fp32. The PyTorch-Lightning
-training scaffolding, GAN/LPIPS losses, and VQ variants are intentionally
-not ported (sampling-parity scope; SURVEY.md §7)."""
+`torch.bmm`s in NCHW), GroupNorm statistics in fp32. `VQModel` (the VQ
+first stage, ldm/models/autoencoder.py:14-282) is ported below; the
+GAN/LPIPS training losses live in training/{perceptual,autoencoder}.py and
+models/{lpips,discriminator}.py. Only the PyTorch-Lightning harness itself
+is replaced (by the preemption-safe run_lib loops; SURVEY.md §7)."""
 
 from __future__ import annotations
 

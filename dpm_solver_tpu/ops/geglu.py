@@ -109,7 +109,8 @@ def _pick_tiles(m: int, d: int, inner: int):
 def geglu_supported(m: int, d: int, inner: int) -> bool:
     """Shape regime where the fused kernel applies: lane-aligned inner
     tiles, sublane-aligned d, a divisible M tiling, and enough rows for
-    the grid to amortize (measured: XLA is fine at tiny M)."""
+    the grid to amortize. The m >= 4096 threshold is set by the per-site
+    A/B in benchmarks/geglu_bench.py (results_geglu_v5e.json)."""
     return (d % 8 == 0 and inner % 128 == 0 and m >= 4096
             and _pick_tiles(m, d, inner) is not None)
 
