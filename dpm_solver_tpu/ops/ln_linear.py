@@ -114,27 +114,62 @@ def _fused_call(x2, gamma, beta, w, bias, *, eps, block_m, block_n,
     )(*args)
 
 
+def _pick_blocks(m: int, d: int, n: int):
+    """Largest (block_m, block_n) divisors of (m, n) inside the ~12.5 MB
+    scoped-VMEM budget; None when nothing divides. Non-128-multiple lane
+    tiles (e.g. n=960 -> 320 at the SD d=320 site) are legal — Mosaic pads
+    the lane dimension."""
+    best = None
+    for bm in (1024, 768, 512, 384, 256, 192, 128, 64):
+        if m % bm:
+            continue
+        for bn in (1024, 768, 640, 512, 448, 384, 320, 256, 192, 128, 64):
+            if n % bn:
+                continue
+            vmem = (2 * bm * d * 2 + 2 * d * bn * 2 + bm * d * 2
+                    + 4 * d * 4 + 2 * bn * 4 + 2 * bm * bn * 4
+                    + bm * d * 4)
+            if vmem > 12_500_000:
+                continue
+            # biggest tile area wins (balanced beats lopsided); break
+            # ties toward wider n tiles (weight streaming amortization)
+            score = (bm * bn, bn)
+            if best is None or score > best[0]:
+                best = (score, (bm, bn))
+    return best[1] if best else None
+
+
+def ln_linear_engaged(m: int, d: int, n: int) -> bool:
+    """True iff ln_linear(x, ...) with these flattened shapes runs the
+    Pallas kernel rather than falling back to the XLA composition."""
+    return d % 8 == 0 and _pick_blocks(m, d, n) is not None
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def ln_linear(x, gamma, beta, w, bias=None, eps: float = 1e-5,
-              block_m: int = 256, block_n: Optional[int] = None,
+              block_m: Optional[int] = None, block_n: Optional[int] = None,
               interpret: bool = False):
     """Fused `LN(x; gamma, beta) @ w (+ bias)` over the last axis of x.
 
-    x: (..., d), w: (d, n) -> (..., n). Falls back to the XLA composition
-    when the flattened row count or n does not tile (ragged shapes are rare
-    in the transformer: token counts are h*w multiples of 64).
+    x: (..., d), w: (d, n) -> (..., n). Tile sizes are auto-picked
+    (divisors of m/n within the VMEM budget) unless both block_m/block_n
+    are given; falls back to the XLA composition when nothing tiles.
     """
     d = x.shape[-1]
     n = w.shape[1]
     m = 1
     for s in x.shape[:-1]:
         m *= s
-    bn = block_n or min(512, n)
-    if m % block_m or n % bn or d % 128:
+    if block_m and block_n:
+        picked = ((block_m, block_n)
+                  if m % block_m == 0 and n % block_n == 0 else None)
+    else:
+        picked = _pick_blocks(m, d, n)
+    if picked is None or d % 8:
         return ln_linear_reference(x, gamma, beta, w, bias, eps=eps)
     x2 = x.reshape(m, d)
-    out = _fused_call(x2, gamma, beta, w, bias, eps=eps, block_m=block_m,
-                      block_n=bn, interpret=interpret)
+    out = _fused_call(x2, gamma, beta, w, bias, eps=eps, block_m=picked[0],
+                      block_n=picked[1], interpret=interpret)
     return out.reshape(x.shape[:-1] + (n,))
 
 
