@@ -109,9 +109,11 @@ def _pick_tiles(m: int, d: int, inner: int):
 def geglu_supported(m: int, d: int, inner: int) -> bool:
     """Shape regime where the fused kernel applies: lane-aligned inner
     tiles, sublane-aligned d, a divisible M tiling, and enough rows for
-    the grid to amortize. The m >= 4096 threshold is set by the per-site
-    A/B in benchmarks/geglu_bench.py (results_geglu_v5e.json)."""
-    return (d % 8 == 0 and inner % 128 == 0 and m >= 4096
+    the grid to amortize. The m >= 16384 threshold is the measured
+    win/loss boundary (results_geglu_v5e.json, v5e: 1.77x at m=73728,
+    1.10x at m=18432, 0.87x at m=4608 — the 24px SD site LOSES and
+    must stay on XLA)."""
+    return (d % 8 == 0 and inner % 128 == 0 and m >= 16384
             and _pick_tiles(m, d, inner) is not None)
 
 

@@ -68,8 +68,10 @@ def test_vjp_matches_ref():
 
 
 def test_dispatch_predicate():
-    assert geglu_supported(73728, 320, 1280)   # SD 96px site
-    assert geglu_supported(4608, 1280, 5120)   # SD 24px site
+    assert geglu_supported(73728, 320, 1280)   # SD 96px site (1.77x win)
+    assert geglu_supported(18432, 640, 2560)   # SD 48px site (1.10x win)
+    # SD 24px site measured 0.87x on v5e (results_geglu_v5e.json) — XLA
+    assert not geglu_supported(4608, 1280, 5120)
     assert not geglu_supported(616, 320, 1280)    # M with no tile divisor
     assert not geglu_supported(1024, 320, 1280)   # too few rows
     assert not geglu_supported(73728, 320, 1300)  # inner not lane-aligned
