@@ -31,15 +31,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def ln_linear_reference(x, gamma, beta, w, bias=None, *, eps: float = 1e-5):
-    """Unfused composition the kernel must match: fp32 LayerNorm (flax
-    semantics, dtype=float32) -> cast to w.dtype -> matmul (+ bias)."""
+def layer_norm_fp32(x, gamma, beta, *, eps: float = 1e-5):
+    """fp32 LayerNorm over the last axis, two-pass variance E[(x-mu)^2]
+    (torch.nn.LayerNorm semantics — what the Pallas kernel computes).
+    Returns fp32; callers cast."""
     xv = x.astype(jnp.float32)
     mean = jnp.mean(xv, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xv - mean), axis=-1, keepdims=True)
     xn = (xv - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
-    xn = xn.astype(w.dtype)
+    return xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+
+
+def ln_linear_reference(x, gamma, beta, w, bias=None, *, eps: float = 1e-5):
+    """Unfused composition the kernel must match: fp32 LayerNorm ->
+    cast to w.dtype -> matmul (+ bias)."""
+    xn = layer_norm_fp32(x, gamma, beta, eps=eps).astype(w.dtype)
     out = jax.lax.dot_general(xn, w, (((xn.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     if bias is not None:
@@ -145,6 +151,28 @@ def ln_linear_engaged(m: int, d: int, n: int) -> bool:
     return d % 8 == 0 and _pick_blocks(m, d, n) is not None
 
 
+# Measured per-(site, shape) wiring verdicts for the SD transformer stack
+# (models/transformer.py consults this; benchmarks/ln_linear_bench.py ->
+# results_ln_linear_v5e.json is the evidence). Empty regime = unwired:
+# round-2's table turned out to compare the fallback against itself at
+# most sites, so every regime here must come from an engaged=True A/B.
+_SITE_WINS = {
+    # site -> list of (m_lo, m_hi) half-open row-count regimes that won
+    "qkv": [],
+    "q_cross": [],
+    "ff_in": [],
+}
+
+
+def ln_linear_site_wins(site: str, m: int, d: int, n: int) -> bool:
+    """Model-side dispatch: fuse LN into the `site` projection at this
+    shape? True only inside a measured-win regime AND where the kernel
+    actually engages."""
+    if not ln_linear_engaged(m, d, n):
+        return False
+    return any(lo <= m < hi for lo, hi in _SITE_WINS.get(site, ()))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def ln_linear(x, gamma, beta, w, bias=None, eps: float = 1e-5,
               block_m: Optional[int] = None, block_n: Optional[int] = None,
@@ -165,7 +193,8 @@ def ln_linear(x, gamma, beta, w, bias=None, eps: float = 1e-5,
                   if m % block_m == 0 and n % block_n == 0 else None)
     else:
         picked = _pick_blocks(m, d, n)
-    if picked is None or d % 8:
+    if (picked is None or d % 8
+            or not (interpret or jax.default_backend() == "tpu")):
         return ln_linear_reference(x, gamma, beta, w, bias, eps=eps)
     x2 = x.reshape(m, d)
     out = _fused_call(x2, gamma, beta, w, bias, eps=eps, block_m=picked[0],
