@@ -52,6 +52,10 @@ ITEMS = [
     ("train", [sys.executable, "benchmarks/train_bench.py"], 3600),
     ("serving",
      [sys.executable, "benchmarks/score_sde_bench.py", "--serving"], 3600),
+    ("guided", [sys.executable, "benchmarks/guided_bench.py"], 3600),
+    # assembles results_canonical_v5e.json from the freshest artifacts —
+    # run last (host-only, no chip needed)
+    ("canonical", [sys.executable, "benchmarks/canonical.py"], 600),
 ]
 
 
