@@ -93,8 +93,43 @@ def main():
         sync(out)
         return (time.perf_counter() - t0) / args.reps, np.asarray(out)
 
+    # ---- micro-probe: does the backend lower s8xs8->s32 dots onto the
+    # MXU's doubled int8 path at all? Decides whether a UNet-level loss
+    # means "retire the mode" (no native path) or "fuse the quant overhead
+    # in Pallas" (native path exists, overhead eats it). --------------------
+    mm, kk, nn2 = 8192, 4096, 4096
+    rng = np.random.default_rng(3)
+    a8 = jnp.asarray(rng.integers(-127, 128, (mm, kk)), jnp.int8)
+    b8 = jnp.asarray(rng.integers(-127, 128, (kk, nn2)), jnp.int8)
+    abf = jnp.asarray(rng.standard_normal((mm, kk)), jnp.bfloat16)
+    bbf = jnp.asarray(rng.standard_normal((kk, nn2)), jnp.bfloat16)
+    dot8 = jax.jit(lambda p, q: jax.lax.dot_general(
+        p, q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32))
+    dotb = jax.jit(lambda p, q: jax.lax.dot_general(
+        p, q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+
+    def t_dot(fn, p, q):
+        float(fn(p, q).ravel()[0])
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(20):
+            o = fn(p, q)
+        float(o.ravel()[0])
+        return (time.perf_counter() - t0) / 20
+
+    t8, tb = t_dot(dot8, a8, b8), t_dot(dotb, abf, bbf)
+    fl = 2 * mm * kk * nn2
+    micro = {"int8_tops": round(fl / t8 / 1e12, 1),
+             "bf16_tflops": round(fl / tb / 1e12, 1),
+             "int8_vs_bf16": round(tb / t8, 3)}
+    print(f"# micro dot {mm}x{kk}x{nn2}: int8 {micro['int8_tops']} TOPS "
+          f"vs bf16 {micro['bf16_tflops']} TF/s "
+          f"({micro['int8_vs_bf16']}x)", file=sys.stderr, flush=True)
+
     dt_f, out_f = bench(None)
-    rows = {"bf16_ms": round(dt_f * 1e3, 2)}
+    rows = {"bf16_ms": round(dt_f * 1e3, 2), "micro_dot": micro}
     out_f64 = out_f.astype(np.float64)
     for mode in ("w8a8", "w8a8_conv"):
         dt_q, out_q = bench(mode)

@@ -226,6 +226,62 @@ def main():
     flops = args.steps * cost_flops(jstep) + cost_flops(jcombine)
     if not args.skip_vae:
         flops += cost_flops(jdecode)
+    # ---- int8 trajectory-quality gate (VERDICT r2 item 3): same params,
+    # same x_T, full 20-NFE trajectory through the FLOAT stack — the
+    # speed number must travel with its end-to-end quality cost, not just
+    # the per-op deviation ----------------------------------------------
+    quality = None
+    if args.quant:
+        # perturb every leaf: random-init UNets have zero-init output
+        # projections (eps == 0 -> identical trajectories, vacuous gate);
+        # quant_bench.py uses the same trick
+        qparams = jax.jit(lambda p, r: jax.tree.map(
+            lambda a, k: a + 0.02 * jax.random.normal(k, a.shape, a.dtype),
+            p, jax.tree.unflatten(jax.tree.structure(p),
+                                  list(jax.random.split(
+                                      r, len(jax.tree.leaves(p)))))))(
+            params, jax.random.key(7))
+        def make_pipe(quant_mode):
+            net = ADMUNet(config=dataclasses.replace(ucfg, quant=quant_mode),
+                          compute_dtype=jnp.bfloat16)
+            mf = model_wrapper(
+                lambda x, t, c: net.apply(qparams, x, t, None, c,
+                                          deterministic=True),
+                ns, model_type="v", guidance_type="classifier-free",
+                condition=cond, unconditional_condition=uncond,
+                guidance_scale=args.scale)
+            smp = build_sampler(mf, ns, steps=args.steps, order=2,
+                                method="multistep", skip_type="time_uniform")
+            if args.skip_vae:
+                return jit_hoisting_constants(smp, x_T)
+            dec = AutoencoderKL(
+                config=dataclasses.replace(vcfg, quant=quant_mode),
+                dtype=jnp.bfloat16)
+
+            def pf(x):
+                return dec.apply(vae_params, smp(x) / 0.18215,
+                                 method=AutoencoderKL.decode)
+
+            return jit_hoisting_constants(pf, x_T)
+
+        a = np.asarray(make_pipe(args.quant)(x_T), np.float64)
+        b = np.asarray(make_pipe(None)(x_T), np.float64)
+        space = "latent" if args.skip_vae else "decoded [-1,1]"
+        quality = {
+            "space": space,
+            "rmse": float(np.sqrt(np.mean((a - b) ** 2))),
+            "max_abs": float(np.max(np.abs(a - b))),
+            "rel_rmse": float(np.sqrt(np.mean((a - b) ** 2))
+                              / (np.sqrt(np.mean(b ** 2)) + 1e-12)),
+        }
+        if not args.skip_vae:
+            quality["pixel_rmse_0_255"] = round(quality["rmse"] * 127.5, 3)
+            quality["pixel_frac_within_1"] = float(
+                np.mean(np.abs(a - b) * 127.5 <= 1.0))
+        print(f"# quant quality vs float ({space}): rmse "
+              f"{quality['rmse']:.5f}, rel {quality['rel_rmse']:.4f}",
+              file=sys.stderr, flush=True)
+
     plat = jax.devices()[0].platform
     peak = None if plat == "cpu" else 197e12  # v5e bf16
     sps = args.batch / dt
@@ -248,6 +304,7 @@ def main():
         "flops_per_batch": flops,
         "implied_tflops": round(tfs, 2),
         "mfu": round(flops / dt / peak, 4) if peak else None,
+        "quality_vs_float": quality,
     }))
 
 
