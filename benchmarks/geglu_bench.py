@@ -27,8 +27,8 @@ SITES = [(96, 320), (48, 640), (24, 1280), (12, 1280)]
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8, help="CFG-doubled batch")
-    p.add_argument("--reps", type=int, default=10)
-    p.add_argument("--scan", type=int, default=4)
+    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--scan", type=int, default=16)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 

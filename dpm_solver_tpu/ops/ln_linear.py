@@ -122,16 +122,18 @@ def _fused_call(x2, gamma, beta, w, bias, *, eps, block_m, block_n,
 
 def _pick_blocks(m: int, d: int, n: int):
     """Largest (block_m, block_n) divisors of (m, n) inside the ~12.5 MB
-    scoped-VMEM budget; None when nothing divides. Non-128-multiple lane
-    tiles (e.g. n=960 -> 320 at the SD d=320 site) are legal — Mosaic pads
-    the lane dimension."""
+    scoped-VMEM budget; None when nothing divides. Mosaic requires the
+    last block dim to be a lane multiple (128) unless the block spans the
+    whole axis (edge block) — so bn candidates are 128-multiples, plus n
+    itself (e.g. n=960 at the SD d=320 qkv site runs untiled on n)."""
+    bn_cands = [c for c in (1024, 768, 640, 512, 384, 256, 128) if n % c == 0]
+    if not bn_cands and n <= 4096:
+        bn_cands = [n]  # untiled-n edge block (e.g. n=960: no 128-mult divides)
     best = None
     for bm in (1024, 768, 512, 384, 256, 192, 128, 64):
         if m % bm:
             continue
-        for bn in (1024, 768, 640, 512, 448, 384, 320, 256, 192, 128, 64):
-            if n % bn:
-                continue
+        for bn in bn_cands:
             vmem = (2 * bm * d * 2 + 2 * d * bn * 2 + bm * d * 2
                     + 4 * d * 4 + 2 * bn * 4 + 2 * bm * bn * 4
                     + bm * d * 4)
