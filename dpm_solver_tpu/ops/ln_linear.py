@@ -11,10 +11,12 @@ stats, bf16 normalized tile — bit-matching the unfused fp32-LN -> bf16-cast
 -> matmul composition) and streams weight column tiles against it, so the
 normalized activations never touch HBM.
 
-Default OFF at the model level: wiring follows the repo's measured-A/B
-discipline (see ops/fused_update.py for the precedent where the kernel
-LOST) — benchmarks/ln_linear_bench.py produces the on-chip verdict and the
-model opts in only where it wins.
+Wired per-site from the measured on-chip A/B (the repo's discipline; see
+ops/fused_update.py for the precedent where a kernel LOST and was retired):
+`_SITE_WINS` below holds the winning regimes from
+benchmarks/ln_linear_bench.py (results_ln_linear_v5e.json) and
+models/transformer.py consults it through `ln_linear_site_wins` —
+everything outside those regimes stays on the XLA composition.
 
 Forward-only custom_vjp: the backward composes the XLA LN/matmul VJP
 (recompute; sampling is the product, matching ops/geglu.py's convention).
@@ -155,12 +157,18 @@ def ln_linear_engaged(m: int, d: int, n: int) -> bool:
 
 # Measured per-(site, shape) wiring verdicts for the SD transformer stack
 # (models/transformer.py consults this; benchmarks/ln_linear_bench.py ->
-# results_ln_linear_v5e.json is the evidence). Empty regime = unwired:
-# round-2's table turned out to compare the fallback against itself at
-# most sites, so every regime here must come from an engaged=True A/B.
+# results_ln_linear_v5e.json is the evidence; engaged=True rows only).
+# Discipline: a regime is listed ONLY if it won in both scan-16 v5e runs —
+# sub-ms sites swing badly through the tunnel (48px qkv read 1.13x then
+# 0.76x), so single-run wins don't wire. Verdicts (2026-08-18):
+#   qkv     96px m=73728: 1.30x WIN · 12px m=1152: 1.11x/2.54x WIN ·
+#           48px/24px inconsistent-to-losing -> XLA
+#   q_cross 0.73-1.00x everywhere -> XLA
+#   ff_in   wins only at 96/48px where the GEGLU kernel (results_geglu)
+#           already owns the whole FF at 1.27x/1.10x -> never dispatched
 _SITE_WINS = {
     # site -> list of (m_lo, m_hi) half-open row-count regimes that won
-    "qkv": [],
+    "qkv": [(65536, 1 << 60), (1024, 2048)],
     "q_cross": [],
     "ff_in": [],
 }
