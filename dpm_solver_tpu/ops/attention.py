@@ -52,9 +52,17 @@ def panel_fits_vmem(s: int, dh: int) -> bool:
     return (s + (-s % _BLOCK_Q)) * max(dh, 128) * 4 * 2 < 8_000_000
 
 
-def panel_block_q(t: int) -> int:
-    """Full-panel query tile (v5e sweep at (80, 2304, 64): bq=256 edges
-    out 128 once the query dim is long enough to tile)."""
+def panel_block_q(t: int, s: Optional[int] = None) -> int:
+    """Full-panel query tile. v5e sweep at (80, 2304, 64)
+    (results_attn_sweep_v5e.json): within-session ranking is monotone in
+    bq — 768: 2.99 ms, 576: 3.04, 384: 3.06, 256: 3.36 — so take the
+    largest divisor-friendly tile whose (bq, S) f32 logits block fits
+    scoped VMEM; non-divisors pad the query dim, so only exact divisors
+    upgrade past the padding-light defaults."""
+    s = t if s is None else s
+    for bq in (1024, 768, 512, 384, 256):
+        if t % bq == 0 and 4 * bq * s <= 8_000_000:
+            return bq
     return 256 if t >= 2048 else _BLOCK_Q
 
 
@@ -525,7 +533,7 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
         use_pallas = jax.default_backend() == "tpu" and s >= 1024
     if use_pallas or interpret:
         if fits:
-            out = fused_attention(qh, kh, vh, scale, panel_block_q(t),
+            out = fused_attention(qh, kh, vh, scale, panel_block_q(t, s),
                                   interpret)
         else:
             # long-S regime (SD@768px: S=9216): streamed blocked-K kernel
