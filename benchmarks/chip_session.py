@@ -49,6 +49,8 @@ ITEMS = [
     ("quant", [sys.executable, "benchmarks/quant_bench.py"], 3600),
     ("sd_bench_w8a8",
      [sys.executable, "benchmarks/sd_bench.py", "--quant", "w8a8"], 3600),
+    ("attn_variants",
+     [sys.executable, "benchmarks/attn_variants_bench.py"], 2400),
     ("train", [sys.executable, "benchmarks/train_bench.py"], 3600),
     ("serving",
      [sys.executable, "benchmarks/score_sde_bench.py", "--serving"], 3600),

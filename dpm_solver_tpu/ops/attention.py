@@ -102,7 +102,12 @@ def attention_xla(q, k, v, *, scale: Optional[float] = None):
     return jnp.einsum("bqk,bkd->bqd", p, v)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int,
+            d_out: Optional[int] = None, softmax_bf16: bool = False):
+    """Full-panel attention tile. `d_out`/`softmax_bf16` are the same
+    measured variants as _flash_kernel's: ones-augmented v puts the softmax
+    denominator on idle MXU output lanes; bf16 exp2 halves the VPU
+    transcendental bytes (f32 max-subtract kept exact)."""
     q = q_ref[0]  # pre-scaled by scale * log2(e): logits live in base 2
     k = k_ref[0]
     logits = jax.lax.dot_general(
@@ -113,12 +118,19 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
         key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(key_ids < t_real, logits, -jnp.inf)
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp2(logits - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    if softmax_bf16:
+        p = jnp.exp2((logits - m).astype(v_ref.dtype))
+    else:
+        p = jnp.exp2(logits - m)
     acc = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    if d_out is not None:
+        o_ref[0] = (acc[:, :d_out] / acc[:, d_out:d_out + 1]
+                    ).astype(o_ref.dtype)
+    else:
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 # --------------------------------------------------------------------------- #
@@ -313,7 +325,8 @@ def _mha_backward(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
     return dq[:, :t], dk[:, :s], dv[:, :s]
 
 
-def _forward(q, k, v, scale, block_q, interpret):
+def _forward(q, k, v, scale, block_q, interpret,
+             mxu_rowsum=False, softmax_bf16=False):
     bh, t, d = q.shape
     s = k.shape[1]
     q = (q * (scale * _LOG2E)).astype(q.dtype)
@@ -321,20 +334,25 @@ def _forward(q, k, v, scale, block_q, interpret):
     s_pad = -s % block_q
     if t_pad:
         q = jnp.pad(q, ((0, 0), (0, t_pad), (0, 0)))
+    if mxu_rowsum:
+        v = jnp.concatenate([v, jnp.ones((bh, s, 1), v.dtype)], axis=-1)
     if s_pad:
         k = jnp.pad(k, ((0, 0), (0, s_pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, s_pad), (0, 0)))
     tq, ts = t + t_pad, s + s_pad
+    dv = d + 1 if mxu_rowsum else d
 
     out = pl.pallas_call(
-        functools.partial(_kernel, t_real=s),
+        functools.partial(_kernel, t_real=s,
+                          d_out=d if mxu_rowsum else None,
+                          softmax_bf16=softmax_bf16),
         grid=(bh, tq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ts, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, ts, dv), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
@@ -349,23 +367,43 @@ _BLOCK_K = 1024
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
-                  s_real: int, block_k: int, nk: int):
+                  s_real: int, block_k: int, nk: int,
+                  d_out: Optional[int] = None,
+                  softmax_bf16: bool = False):
     """Streaming (blocked-K) attention step: running max/sum rescaling keeps
     VMEM use constant in S. Scratch m/l/acc persist across the (sequential)
     k grid dimension; out is written on the last k block. With a second
     output ref present (grad path) the per-row BASE-2 log-sum-exp is
-    emitted too. q arrives pre-scaled by scale*log2e (base-2 softmax)."""
+    emitted too. q arrives pre-scaled by scale*log2e (base-2 softmax).
+
+    `d_out` set means the ROWSUM-ON-MXU variant: v arrives augmented with a
+    ones column (…, d_out+1) so the softmax denominator falls out of the
+    p@v matmul as column d_out — d=64 leaves half the MXU output lanes
+    idle, so the extra column is free and the VPU row-sum pass (plus the
+    whole l scratch) disappears. `softmax_bf16` computes exp2 on bf16
+    (after the exact f32 max-subtract): half the transcendental bytes and
+    no separate p→bf16 cast before the MXU; the ~2^-8-relative logit
+    rounding is at the output dtype's own grain (A/B'd + parity-gated,
+    results_attn_variants_v5e.json)."""
+    mxu_rowsum = d_out is not None
     if len(rest) == 4:
         lse_ref, m_ref, l_ref, acc_ref = rest
-    else:
+    elif len(rest) == 3 and not mxu_rowsum:
         m_ref, l_ref, acc_ref = rest
         lse_ref = None
+    elif len(rest) == 3:
+        lse_ref, m_ref, acc_ref = rest
+        l_ref = None
+    else:
+        m_ref, acc_ref = rest
+        lse_ref = l_ref = None
     kidx = pl.program_id(2)
 
     @pl.when(kidx == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[...] = jnp.zeros_like(l_ref)
+        if l_ref is not None:
+            l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]
@@ -383,8 +421,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
     m_new = jnp.maximum(m_prev, m_cur)
     # fully-padded tail blocks leave m unchanged; alpha=1, p=0
     alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2(logits - m_new)
-    l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    if softmax_bf16:
+        p = jnp.exp2((logits - m_new).astype(v_ref.dtype))
+    else:
+        p = jnp.exp2(logits - m_new)
+    if l_ref is not None:
+        l_ref[:, :1] = (l_ref[:, :1] * alpha
+                        + jnp.sum(p, axis=-1, keepdims=True))
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -392,13 +435,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
 
     @pl.when(kidx == nk - 1)
     def _finish():
-        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+        if mxu_rowsum:
+            l = acc_ref[:, d_out:d_out + 1]
+            o_ref[0] = (acc_ref[:, :d_out] / l).astype(o_ref.dtype)
+        else:
+            l = l_ref[:, :1]
+            o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse_ref[0] = m_ref[:, :1] + jnp.log2(l_ref[:, :1])
+            lse_ref[0] = m_ref[:, :1] + jnp.log2(l)
 
 
 def _flash_forward(q, k, v, scale, block_q, block_k, interpret,
-                   with_lse=False):
+                   with_lse=False, mxu_rowsum=False, softmax_bf16=False):
     bh, t, d = q.shape
     s = k.shape[1]
     q = (q * (scale * _LOG2E)).astype(q.dtype)
@@ -406,11 +454,16 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret,
     s_pad = -s % block_k
     if t_pad:
         q = jnp.pad(q, ((0, 0), (0, t_pad), (0, 0)))
+    if mxu_rowsum:
+        # ones column -> the p@v matmul emits the softmax denominator in
+        # column d (free: d<=64 leaves MXU output lanes idle anyway)
+        v = jnp.concatenate([v, jnp.ones((bh, s, 1), v.dtype)], axis=-1)
     if s_pad:
         k = jnp.pad(k, ((0, 0), (0, s_pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, s_pad), (0, 0)))
     tq, ts = t + t_pad, s + s_pad
     nk = ts // block_k
+    dv = d + 1 if mxu_rowsum else d
 
     spec_o = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                           memory_space=pltpu.VMEM)
@@ -421,25 +474,27 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret,
                                   memory_space=pltpu.VMEM)]
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((bh, tq, 1), jnp.float32)]
+    scratch = [pltpu.VMEM((block_q, 128), jnp.float32)]   # running max
+    if not mxu_rowsum:
+        scratch.append(pltpu.VMEM((block_q, 128), jnp.float32))  # running sum
+    scratch.append(pltpu.VMEM((block_q, dv), jnp.float32))  # output acc
     out = pl.pallas_call(
         functools.partial(_flash_kernel, s_real=s,
-                          block_k=block_k, nk=nk),
+                          block_k=block_k, nk=nk,
+                          d_out=d if mxu_rowsum else None,
+                          softmax_bf16=softmax_bf16),
         grid=(bh, tq // block_q, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, block_k, dv), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
-            pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(q, k, v)
     if with_lse:
@@ -447,26 +502,33 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret,
     return out[:, :t]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def flash_attention(q, k, v, scale: Optional[float] = None,
                     block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    mxu_rowsum: bool = False, softmax_bf16: bool = False):
     """softmax(q k^T * scale) v with O(block_q * block_k) VMEM — covers the
     long-sequence regime the full-panel kernel can't (e.g. SD-2.1 at 768px:
-    9216-token self-attention)."""
+    9216-token self-attention). `mxu_rowsum`/`softmax_bf16` select the
+    measured forward variants (see _flash_kernel); the backward is the
+    exact-f32 path either way."""
     d = q.shape[-1]
     eff = (d ** -0.5) if scale is None else scale
-    return _flash_forward(q, k, v, eff, block_q, block_k, interpret)
+    return _flash_forward(q, k, v, eff, block_q, block_k, interpret,
+                          mxu_rowsum=mxu_rowsum, softmax_bf16=softmax_bf16)
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret,
+               mxu_rowsum, softmax_bf16):
     eff = (q.shape[-1] ** -0.5) if scale is None else scale
     o, lse = _flash_forward(q, k, v, eff, block_q, block_k, interpret,
-                            with_lse=True)
+                            with_lse=True, mxu_rowsum=mxu_rowsum,
+                            softmax_bf16=softmax_bf16)
     return o, (q, k, v, o, lse)
 
 
-def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+def _flash_bwd(scale, block_q, block_k, interpret, mxu_rowsum, softmax_bf16,
+               res, g):
     q, k, v, o, lse = res
     eff = (q.shape[-1] ** -0.5) if scale is None else scale
     return _mha_backward(q, k, v, o, lse, g, eff, block_q,
@@ -476,26 +538,31 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_attention(q, k, v, scale: Optional[float] = None,
-                    block_q: int = _BLOCK_Q, interpret: bool = False):
+                    block_q: int = _BLOCK_Q, interpret: bool = False,
+                    mxu_rowsum: bool = False, softmax_bf16: bool = False):
     """softmax(q k^T * scale) v with VMEM-resident logits.
 
     q: (BH, T, D); k, v: (BH, S, D). scale defaults to D^-1/2.
+    `mxu_rowsum`/`softmax_bf16` select the measured forward variants
+    (see _kernel); the backward is the exact-f32 path either way.
     """
     d = q.shape[-1]
     eff = (d ** -0.5) if scale is None else scale
-    return _forward(q, k, v, eff, block_q, interpret)
+    return _forward(q, k, v, eff, block_q, interpret,
+                    mxu_rowsum=mxu_rowsum, softmax_bf16=softmax_bf16)
 
 
-def _fwd(q, k, v, scale, block_q, interpret):
+def _fwd(q, k, v, scale, block_q, interpret, mxu_rowsum, softmax_bf16):
     eff = (q.shape[-1] ** -0.5) if scale is None else scale
-    o = _forward(q, k, v, eff, block_q, interpret)
+    o = _forward(q, k, v, eff, block_q, interpret,
+                 mxu_rowsum=mxu_rowsum, softmax_bf16=softmax_bf16)
     lse = _lse(q, k, eff, block_q, interpret)
     return o, (q, k, v, o, lse)
 
 
-def _bwd(scale, block_q, interpret, res, g):
+def _bwd(scale, block_q, interpret, mxu_rowsum, softmax_bf16, res, g):
     q, k, v, o, lse = res
     eff = (q.shape[-1] ** -0.5) if scale is None else scale
     s = k.shape[1]

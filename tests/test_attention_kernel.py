@@ -71,6 +71,63 @@ def test_flash_attention_matches_xla(shape, blocks):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-6)
 
 
+@pytest.mark.parametrize("mxu_rowsum,softmax_bf16", [
+    (True, False), (False, True), (True, True)])
+@pytest.mark.parametrize("shape", [(2, 256, 256, 64), (1, 129, 1025, 64)])
+def test_forward_variants_match_reference(shape, mxu_rowsum, softmax_bf16):
+    """The measured forward variants (softmax denominator on MXU output
+    lanes via a ones-augmented v; bf16 exp2 after exact f32 max-subtract)
+    stay within bf16 tolerance of the reference composition — both kernels,
+    padded and unpadded regimes."""
+    from dpm_solver_tpu.ops.attention import flash_attention
+
+    bh, t, s, d = shape
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(bh, t, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(bh, s, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(bh, s, d), jnp.bfloat16)
+    want = np.asarray(attention_xla(q, k, v), np.float32)
+    panel = np.asarray(
+        fused_attention(q, k, v, None, 128, True, mxu_rowsum, softmax_bf16),
+        np.float32)
+    flash = np.asarray(
+        flash_attention(q, k, v, None, 128, 256, True, mxu_rowsum,
+                        softmax_bf16), np.float32)
+    np.testing.assert_allclose(panel, want, atol=2e-2)
+    np.testing.assert_allclose(flash, want, atol=2e-2)
+
+
+def test_mxu_rowsum_exact_in_fp32():
+    """With fp32 inputs the ones-column denominator is the same sum the VPU
+    pass computes — bitwise-equivalent math, so near-exact vs reference."""
+    from dpm_solver_tpu.ops.attention import flash_attention
+
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(2, 130, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 300, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 300, 64).astype(np.float32))
+    want = np.asarray(attention_xla(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, None, 128, 256, True, True))
+    np.testing.assert_allclose(got, want, atol=3e-6)
+
+
+def test_variant_grad_is_exact_f32_path():
+    """Backward ignores the forward variant flags (exact-f32 dq/dk/dv)."""
+    from dpm_solver_tpu.ops.attention import flash_attention
+
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(1, 128, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 160, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 160, 32).astype(np.float32))
+    f = lambda q, k, v: flash_attention(q, k, v, None, 128, 128, True,
+                                        True, False).sum()
+    g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(lambda q, k, v: attention_xla(q, k, v).sum(),
+                    argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_flash_attention_grad_falls_back_to_xla():
     from dpm_solver_tpu.ops.attention import flash_attention
 
