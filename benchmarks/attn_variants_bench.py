@@ -81,7 +81,14 @@ def main():
         k = jnp.asarray(rs.randn(bh, t, d), jnp.bfloat16)
         v = jnp.asarray(rs.randn(bh, t, d), jnp.bfloat16)
         flops = 4 * bh * t * t * d
-        want = np.asarray(attention_xla(q, k, v), np.float32)
+        # chunk the reference over bh: the XLA composition materializes the
+        # full (chunk, t, t) f32 logits (13.6 GB at bh=40, t=9216 — OOM)
+        xla_chunk = jax.jit(attention_xla)
+        step = max(1, int(2e9 / (t * t * 4)))
+        want = np.concatenate([
+            np.asarray(xla_chunk(q[i:i + step], k[i:i + step],
+                                 v[i:i + step]), np.float32)
+            for i in range(0, bh, step)], axis=0)
 
         site_rows = {}
         t_base = None

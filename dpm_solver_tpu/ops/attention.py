@@ -599,13 +599,19 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
         # short-key cross-attention (S=77)
         use_pallas = jax.default_backend() == "tpu" and s >= 1024
     if use_pallas or interpret:
+        # mxu_rowsum (ones-augmented v: softmax denominator rides the p@v
+        # matmul's idle output lanes) measured 1.016x/1.044x at the SD
+        # (40,9216,64)/(80,2304,64) sites and never lost — wired wherever
+        # dh underfills the 128 output lanes (results_attn_variants_v5e).
+        # softmax_bf16 measured 0.94-0.99x there: dead, stays off.
+        rowsum = dh < 128
         if fits:
             out = fused_attention(qh, kh, vh, scale, panel_block_q(t, s),
-                                  interpret)
+                                  interpret, rowsum)
         else:
             # long-S regime (SD@768px: S=9216): streamed blocked-K kernel
             out = flash_attention(qh, kh, vh, scale, flash_block_q(t, dh),
-                                  _BLOCK_K, interpret)
+                                  _BLOCK_K, interpret, rowsum)
     else:
         out = attention_xla(qh, kh, vh, scale=scale)
     return (out.reshape(b, num_heads, t, dh)
