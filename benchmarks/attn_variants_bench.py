@@ -119,9 +119,11 @@ def main():
             best[site] = min(
                 ((r["ms"], n) for n, r in site_rows.items()), default=None)
 
+    # headline = the variant that actually ships (rowsum; sb16 measured a
+    # loss and is off in production — ADVICE.md r3)
     print(json.dumps({
         "metric": "attn_fwd_variants",
-        "value": (rows.get("sd768_self", {}).get("rowsum_sb16", {})
+        "value": (rows.get("sd768_self", {}).get("rowsum", {})
                   .get("vs_base")),
         "unit": "x vs base flash kernel at (40,9216,64)",
         "best": {s: b[1] for s, b in best.items()} if best else None,

@@ -573,6 +573,293 @@ def _bwd(scale, block_q, interpret, mxu_rowsum, softmax_bf16, res, g):
 fused_attention.defvjp(_fwd, _bwd)
 
 
+# --------------------------------------------------------------------------- #
+# fused attention -> out-projection -> residual (the flash epilogue)
+#
+# Motivation (measured, benchmarks/matmul_probe.py on v5e): the attention
+# out-projection at the SD-2.1 96px site is a [73728, 320] x [320, 320]
+# matmul running at 20.7 TF/s — the worst site in the whole probe table —
+# because the [73728, 320] attention output makes a full HBM round-trip
+# (45 MB write + read) between the flash kernel and a matmul whose k=n=320
+# tiles poorly on the MXU. But concat-heads out-projection is exactly a sum
+# of per-head slices: out = sum_h o_h @ W[h*dh:(h+1)*dh, :]. So the flash
+# kernel can dot each head's (block_q, dh) output block against its weight
+# slice while it is still in VMEM and accumulate into a per-query-block
+# (block_q, C) f32 scratch; bias + residual ride the same epilogue and the
+# attention output never touches HBM.
+#
+# Reference counterpart: per-block `to_out` + residual in
+# examples/stable-diffusion/ldm/modules/attention.py:165-168,205-207.
+#
+# Grid: (B, nq, H, nk) — k innermost (flash streaming), heads next (the
+# out accumulator persists across h; Pallas keeps the revisited output
+# block in VMEM until the (b, i) coordinate changes). Rowsum-on-MXU is
+# always on here (the ones-augmented v column replaces the l scratch);
+# numerics are parity-tested, and the wiring gate is the measured per-site
+# A/B (results_attn_out_fused_v5e.json) like every kernel in this package.
+# --------------------------------------------------------------------------- #
+
+
+def _attn_out_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, r_ref, o_ref,
+                     m_ref, acc_ref, oacc_ref, pair_ref, *,
+                     s_real: int, block_k: int, nk: int, nh: int, dh: int,
+                     concat: bool):
+    hidx = pl.program_id(2)
+    kidx = pl.program_id(3)
+
+    if not concat:
+        @pl.when(jnp.logical_and(hidx == 0, kidx == 0))
+        def _init_out():
+            oacc_ref[...] = jnp.zeros_like(oacc_ref)
+
+    @pl.when(kidx == 0)
+    def _init_head():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]  # pre-scaled by scale*log2e (base-2 softmax)
+    k = k_ref[0, 0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if s_real % block_k:
+        base = kidx * block_k
+        ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + base
+        logits = jnp.where(ids < s_real, logits, -jnp.inf)
+
+    m_prev = m_ref[:, :1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(logits - m_new)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:, :1] = m_new
+
+    @pl.when(kidx == nk - 1)
+    def _project_head():
+        # o_h = acc/l (the ones column is the denominator), cast to the
+        # compute dtype exactly like the unfused path casts before to_out
+        o_h = (acc_ref[:, :dh] / acc_ref[:, dh:dh + 1]).astype(w_ref.dtype)
+        if concat:
+            # pack heads into (bq, H*dh) VMEM layout for one full-k
+            # out-proj contraction at the end. Mosaic requires lane-dim
+            # store offsets provably 128-aligned, so dh=64 heads are
+            # buffered in pairs (parity-predicated static slices) and each
+            # 128-wide pair lands at a 128-multiple; an odd head count
+            # leaves a tail head whose offset (nh-1)*64 is also 128-aligned.
+            @pl.when(hidx % 2 == 0)
+            def _even():
+                pair_ref[:, :dh] = o_h
+
+            @pl.when(hidx % 2 == 1)
+            def _odd():
+                pair_ref[:, dh:] = o_h
+                base = pl.multiple_of((hidx - 1) * dh, 2 * dh)
+                oacc_ref[:, pl.ds(base, 2 * dh)] = pair_ref[...]
+
+            if nh % 2:
+                @pl.when(hidx == nh - 1)
+                def _tail():
+                    oacc_ref[:, (nh - 1) * dh:] = o_h
+        else:
+            oacc_ref[...] += jax.lax.dot_general(
+                o_h, w_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_and(hidx == nh - 1, kidx == nk - 1))
+    def _finish():
+        if concat:
+            # concat-heads @ w_out: one MXU pass with k = H*dh
+            out = jax.lax.dot_general(
+                oacc_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            out = oacc_ref[...]
+        out = out + b_ref[...]
+        o_ref[0] = (out + r_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _attn_out_blocks(t: int, s: int, nh: int, dh: int, c: int, concat: bool):
+    """(block_q, block_k): prefer the panel regime (nk=1, whole-S key
+    blocks — what the full-panel kernel taught us wins at S<=~3k) when the
+    program fits scoped VMEM, else stream lane-aligned S divisors."""
+    bk_cands = [s] if s % 128 == 0 and s <= 3072 else []
+    bk_cands += [bk for bk in (1024, 768, 512, 384, 256, 128) if s % bk == 0]
+    bk_cands.append(_BLOCK_K)
+    for bk in bk_cands:
+        for bq in (1024, 768, 512, 384, 256, _BLOCK_Q):
+            if bq > t + (-t % _BLOCK_Q):
+                continue
+            if _attn_out_vmem_est(bq, bk, nh, dh, c, concat) <= 12_000_000:
+                return bq, bk
+    return _BLOCK_Q, _BLOCK_K
+
+
+def _attn_out_vmem_est(bq: int, bk: int, nh: int, dh: int, c: int,
+                       concat: bool) -> int:
+    """Scoped-VMEM bytes: double-buffered q/k/v/w/residual blocks (bf16)
+    + f32 m/acc scratch, the o/out accumulator, and the f32 logits tile."""
+    blocks = 2 * (bq * dh * 2 + bk * dh * 2 + bk * (dh + 1) * 2
+                  + dh * c * 2 + bq * c * 2 + bq * c * 2)
+    oacc = nh * bq * dh * 2 if concat else bq * c * 4
+    scratch = bq * 128 * 4 + bq * (dh + 1) * 4 + oacc
+    return blocks + scratch + 4 * bq * bk
+
+
+def attention_out_ref(q, k, v, w_out, bias, residual, *, num_heads: int,
+                      scale: Optional[float] = None):
+    """Unfused composition the kernel must match (and the recompute
+    backward): token_attention (Pallas/XLA per shape) -> out-projection
+    (+bias) -> residual add, all in the caller's dtype."""
+    out = token_attention(q, k, v, num_heads=num_heads, scale=scale)
+    proj = jax.lax.dot_general(out, w_out.astype(out.dtype),
+                               (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    if bias is not None:
+        proj = proj + bias.astype(jnp.float32)
+    return (proj + residual.astype(jnp.float32)).astype(residual.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def attention_out_fused(q, k, v, w_out, bias, residual, num_heads: int,
+                        scale: Optional[float] = None,
+                        interpret: bool = False, concat: bool = True):
+    """softmax(q k^T * scale) v -> concat heads -> @ w_out (+bias)
+    -> + residual, with the attention output never leaving VMEM.
+
+    q: (B, T, H*dh); k/v: (B, S, H*dh); w_out: (H*dh, C); bias: (C,) or
+    None; residual: (B, T, C). `concat` selects the epilogue variant:
+    True buffers per-head outputs in VMEM and runs one k=H*dh out-proj
+    contraction per query block; False accumulates H half-filled k=dh
+    matmuls. Backward is the XLA-recompute VJP of `attention_out_ref`
+    (sampling is the product; ops/geglu.py precedent).
+    """
+    return _attn_out_forward(q, k, v, w_out, bias, residual,
+                             num_heads=num_heads, scale=scale,
+                             interpret=interpret, concat=concat)
+
+
+def _attn_out_forward(q, k, v, w_out, bias, residual, *, num_heads, scale,
+                      interpret, concat=True):
+    b, t, inner = q.shape
+    s = k.shape[1]
+    dh = inner // num_heads
+    c = w_out.shape[1]
+    eff = (dh ** -0.5) if scale is None else scale
+
+    def heads(u, length):
+        return (u.reshape(b, length, num_heads, dh)
+                .transpose(0, 2, 1, 3))  # (B, H, L, dh)
+
+    qh = heads((q * (eff * _LOG2E)).astype(q.dtype), t)
+    kh = heads(k, s)
+    vh = heads(v, s)
+    vh = jnp.concatenate([vh, jnp.ones((b, num_heads, s, 1), vh.dtype)], -1)
+
+    block_q, block_k = _attn_out_blocks(t, s, num_heads, dh, c, concat)
+    t_pad = -t % block_q
+    s_pad = -s % block_k
+    if t_pad:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, t_pad), (0, 0)))
+        residual = jnp.pad(residual, ((0, 0), (0, t_pad), (0, 0)))
+    if s_pad:
+        kh = jnp.pad(kh, ((0, 0), (0, 0), (0, s_pad), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, s_pad), (0, 0)))
+    tq, ts = t + t_pad, s + s_pad
+    nq, nk = tq // block_q, ts // block_k
+    b2 = (jnp.zeros((1, c), jnp.float32) if bias is None
+          else bias.reshape(1, c).astype(jnp.float32))
+    concat = concat and dh == 64  # pair-packing requires 2*dh == 128 lanes
+    if concat:
+        w3 = w_out.astype(q.dtype)  # flat (H*dh, C)
+        w_spec = pl.BlockSpec((inner, c), lambda b, i, h, j: (0, 0),
+                              memory_space=pltpu.VMEM)
+        oacc = pltpu.VMEM((block_q, inner), q.dtype)
+    else:
+        w3 = w_out.reshape(num_heads, dh, c).astype(q.dtype)
+        w_spec = pl.BlockSpec((1, dh, c), lambda b, i, h, j: (h, 0, 0),
+                              memory_space=pltpu.VMEM)
+        oacc = pltpu.VMEM((block_q, c), jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_out_kernel, s_real=s, block_k=block_k,
+                          nk=nk, nh=num_heads, dh=dh, concat=concat),
+        grid=(b, nq, num_heads, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, dh), lambda b, i, h, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, dh), lambda b, i, h, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, dh + 1),
+                         lambda b, i, h, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec,
+            pl.BlockSpec((1, c), lambda b, i, h, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, c), lambda b, i, h, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c), lambda b, i, h, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tq, c), residual.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),      # running max
+            pltpu.VMEM((block_q, dh + 1), jnp.float32),   # per-head o acc
+            oacc,                                          # out-proj acc
+            pltpu.VMEM((block_q, 2 * dh), q.dtype),        # head-pair buffer
+        ],
+        interpret=interpret,
+    )(qh, kh, vh, w3, b2, residual)
+    return out[:, :t]
+
+
+def _attn_out_fwd(q, k, v, w_out, bias, residual, num_heads, scale,
+                  interpret, concat):
+    out = _attn_out_forward(q, k, v, w_out, bias, residual,
+                            num_heads=num_heads, scale=scale,
+                            interpret=interpret, concat=concat)
+    return out, (q, k, v, w_out, bias, residual)
+
+
+def _attn_out_bwd(num_heads, scale, interpret, concat, res, g):
+    q, k, v, w_out, bias, residual = res
+    if bias is None:
+        def ref(q, k, v, w, r):
+            return attention_out_ref(q, k, v, w, None, r,
+                                     num_heads=num_heads, scale=scale)
+
+        _, vjp = jax.vjp(ref, q, k, v, w_out, residual)
+        dq, dk, dv, dw, dr = vjp(g.astype(residual.dtype))
+        return dq, dk, dv, dw, None, dr
+    _, vjp = jax.vjp(
+        lambda q, k, v, w, b, r: attention_out_ref(
+            q, k, v, w, b, r, num_heads=num_heads, scale=scale),
+        q, k, v, w_out, bias, residual)
+    return vjp(g.astype(residual.dtype))
+
+
+attention_out_fused.defvjp(_attn_out_fwd, _attn_out_bwd)
+
+
+# Measured per-site wiring verdict (benchmarks/attn_out_fused_bench.py ->
+# results_attn_out_fused_v5e.json; the repo's discipline: nothing wires
+# without a same-session chain-timed win). Populated by the round-4 chip
+# session; empty = everything stays on the unfused composition.
+_ATTN_OUT_WINS: list = []
+
+
+def attn_out_fused_wins(t: int, s: int, num_heads: int, dh: int,
+                        c: int) -> bool:
+    """Model-side dispatch: fuse out-proj+residual into the attention
+    kernel at this site? True only inside a measured-win regime, on the
+    self-attention (T == S) long-sequence path the kernel targets."""
+    if jax.default_backend() != "tpu" or t != s or s < 1024 or dh > 64:
+        return False
+    return any(lo <= t * num_heads * dh < hi for lo, hi in _ATTN_OUT_WINS)
+
+
 def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
                     use_pallas: Optional[bool] = None, interpret: bool = False):
     """Head-major convenience wrapper: q (B, T, H*Dh), k/v (B, S, H*Dh) ->
@@ -601,10 +888,12 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
     if use_pallas or interpret:
         # mxu_rowsum (ones-augmented v: softmax denominator rides the p@v
         # matmul's idle output lanes) measured 1.016x/1.044x at the SD
-        # (40,9216,64)/(80,2304,64) sites and never lost — wired wherever
-        # dh underfills the 128 output lanes (results_attn_variants_v5e).
+        # (40,9216,64)/(80,2304,64) sites — both dh=64; gated at the
+        # measured dh until other dims are A/B'd (the augmented dh+1 last
+        # dim is unmeasured at e.g. dh=40/80; numerics are parity-tested
+        # either way, so the gate is perf-only — ADVICE.md r3).
         # softmax_bf16 measured 0.94-0.99x there: dead, stays off.
-        rowsum = dh < 128
+        rowsum = dh <= 64
         if fits:
             out = fused_attention(qh, kh, vh, scale, panel_block_q(t, s),
                                   interpret, rowsum)

@@ -128,6 +128,64 @@ def test_variant_grad_is_exact_f32_path():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.parametrize("concat", [True, False])
+@pytest.mark.parametrize("shape", [
+    (2, 256, 4, 64, 256),    # even blocks, dh=64 (SD-like)
+    (1, 300, 5, 64, 320),    # padded query+key tails, C=320 (96px twin)
+    (2, 130, 2, 40, 96),     # dh=40, non-lane-aligned C
+])
+def test_attention_out_fused_matches_composition(shape, concat):
+    """Fused attention->out-proj->residual epilogue matches the unfused
+    token_attention -> matmul -> add composition (f32, near-exact)."""
+    from dpm_solver_tpu.ops.attention import (
+        attention_out_fused,
+        attention_out_ref,
+    )
+
+    b, t, h, dh, c = shape
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, t, h * dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, t, h * dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, t, h * dh).astype(np.float32))
+    w = jnp.asarray(rng.randn(h * dh, c).astype(np.float32)) * 0.1
+    bias = jnp.asarray(rng.randn(c).astype(np.float32))
+    res = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+    want = attention_out_ref(q, k, v, w, bias, res, num_heads=h)
+    got = attention_out_fused(q, k, v, w, bias, res, h, None, True, concat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+    # bias=None path
+    want0 = attention_out_ref(q, k, v, w, None, res, num_heads=h)
+    got0 = attention_out_fused(q, k, v, w, None, res, h, None, True, concat)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want0),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_attention_out_fused_grad_matches_composition():
+    """Backward is the recompute VJP of the reference composition — every
+    input (q/k/v/w/bias/residual) gets the composition's gradient."""
+    from dpm_solver_tpu.ops.attention import (
+        attention_out_fused,
+        attention_out_ref,
+    )
+
+    rng = np.random.RandomState(5)
+    b, t, h, dh, c = 1, 128, 2, 32, 64
+    q = jnp.asarray(rng.randn(b, t, h * dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, t, h * dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, t, h * dh).astype(np.float32))
+    w = jnp.asarray(rng.randn(h * dh, c).astype(np.float32)) * 0.1
+    bias = jnp.asarray(rng.randn(c).astype(np.float32))
+    res = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+    f = lambda *a: (attention_out_fused(*a, h, None, True) ** 2).sum()
+    ref = lambda *a: (attention_out_ref(*a, num_heads=h) ** 2).sum()
+    g = jax.grad(f, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, w, bias, res)
+    want = jax.grad(ref, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, w, bias, res)
+    for a, b_ in zip(g, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_flash_attention_grad_falls_back_to_xla():
     from dpm_solver_tpu.ops.attention import flash_attention
 
