@@ -576,17 +576,27 @@ fused_attention.defvjp(_fwd, _bwd)
 # --------------------------------------------------------------------------- #
 # fused attention -> out-projection -> residual (the flash epilogue)
 #
-# Motivation (measured, benchmarks/matmul_probe.py on v5e): the attention
+# Motivation (benchmarks/matmul_probe.py on v5e): the attention
 # out-projection at the SD-2.1 96px site is a [73728, 320] x [320, 320]
-# matmul running at 20.7 TF/s — the worst site in the whole probe table —
-# because the [73728, 320] attention output makes a full HBM round-trip
-# (45 MB write + read) between the flash kernel and a matmul whose k=n=320
-# tiles poorly on the MXU. But concat-heads out-projection is exactly a sum
-# of per-head slices: out = sum_h o_h @ W[h*dh:(h+1)*dh, :]. So the flash
-# kernel can dot each head's (block_q, dh) output block against its weight
-# slice while it is still in VMEM and accumulate into a per-query-block
-# (block_q, C) f32 scratch; bias + residual ride the same epilogue and the
-# attention output never touches HBM.
+# matmul that read 20.7 TF/s standalone — the worst row in the probe table —
+# with the [73728, 320] attention output making a full HBM round-trip
+# (45 MB write + read) between the flash kernel and the matmul. Since
+# concat-heads out-projection is exactly a sum of per-head slices
+# (out = sum_h o_h @ W[h*dh:(h+1)*dh, :]), the flash kernel can project
+# each head's (block_q, dh) output block while it is still in VMEM and add
+# bias + residual in the epilogue, so that tensor never touches HBM.
+#
+# MEASURED VERDICT (results_attn_out_fused_v5e.json, chain-timed, same
+# session, 2026-08-19): LOSS at both SD sites — 0.96x at 96px and
+# 0.71-0.76x at 48px, for both epilogue formulations (per-head k=64
+# accumulation and pair-packed single k=H*dh contraction). Root cause: the
+# standalone probe reading overstated the in-situ cost (in the composed
+# program the out-proj+residual runs ~0.2-0.25 ms, near its HBM-bytes
+# bound — the probe's chain carry-add inflated it), while the in-kernel
+# epilogue serializes underfilled MXU contractions and its extra VMEM
+# working set degrades the flash loop's double buffering. The kernel is
+# kept, tested, and NOT wired (`_ATTN_OUT_WINS` stays empty) — the
+# ops/fused_update.py / int8 retirement precedent.
 #
 # Reference counterpart: per-block `to_out` + residual in
 # examples/stable-diffusion/ldm/modules/attention.py:165-168,205-207.
@@ -594,9 +604,7 @@ fused_attention.defvjp(_fwd, _bwd)
 # Grid: (B, nq, H, nk) — k innermost (flash streaming), heads next (the
 # out accumulator persists across h; Pallas keeps the revisited output
 # block in VMEM until the (b, i) coordinate changes). Rowsum-on-MXU is
-# always on here (the ones-augmented v column replaces the l scratch);
-# numerics are parity-tested, and the wiring gate is the measured per-site
-# A/B (results_attn_out_fused_v5e.json) like every kernel in this package.
+# always on here (the ones-augmented v column replaces the l scratch).
 # --------------------------------------------------------------------------- #
 
 
@@ -845,8 +853,9 @@ attention_out_fused.defvjp(_attn_out_fwd, _attn_out_bwd)
 
 # Measured per-site wiring verdict (benchmarks/attn_out_fused_bench.py ->
 # results_attn_out_fused_v5e.json; the repo's discipline: nothing wires
-# without a same-session chain-timed win). Populated by the round-4 chip
-# session; empty = everything stays on the unfused composition.
+# without a same-session chain-timed win). Round-4 chip session: the
+# kernel LOST at both SD sites (0.96x/0.76x) — table stays empty and the
+# unfused composition remains production everywhere.
 _ATTN_OUT_WINS: list = []
 
 
