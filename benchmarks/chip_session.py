@@ -55,6 +55,15 @@ ITEMS = [
     ("serving",
      [sys.executable, "benchmarks/score_sde_bench.py", "--serving"], 3600),
     ("guided", [sys.executable, "benchmarks/guided_bench.py"], 3600),
+    # round-4 queue (VERDICT r3 items 1, 4, 5, 8, and the roofline #2)
+    ("guided_ref",
+     [sys.executable, "benchmarks/guided_bench.py", "--reference-arm"], 5400),
+    ("vae_encode", [sys.executable, "benchmarks/vae_encode_bench.py"], 2400),
+    ("sd_profile_b8",
+     [sys.executable, "benchmarks/sd_profile.py", "--batch", "8"], 3600),
+    ("attn_out_fused",
+     [sys.executable, "benchmarks/attn_out_fused_bench.py"], 2400),
+    ("roofline", [sys.executable, "benchmarks/roofline.py"], 3600),
     # assembles results_canonical_v5e.json from the freshest artifacts —
     # run last (host-only, no chip needed)
     ("canonical", [sys.executable, "benchmarks/canonical.py"], 600),

@@ -36,6 +36,11 @@ def main():
     p.add_argument("--no-slab-conv", action="store_true",
                    help="force the XLA conv lowering everywhere (A/B arm "
                         "against the Pallas conv3x3 dispatch)")
+    p.add_argument("--reference-arm", action="store_true",
+                   help="also drive the reference's own JAX solver "
+                        "(/root/reference/dpm_solver_jax.py, classifier "
+                        "guidance at :300-330) over the SAME ADM+classifier "
+                        "ports, same session, and report vs_baseline")
     args = p.parse_args()
 
     import jax
@@ -127,6 +132,63 @@ def main():
     sync(out)
     dt = (time.perf_counter() - t0) / args.reps
 
+    # ---- reference arm: the reference's own JAX solver over the SAME nets
+    # (fills the guided row's vs_baseline hole, VERDICT r3 item 5). Params
+    # travel as jit ARGUMENTS — the reference closure would otherwise embed
+    # ~2.4 GB of weights as HLO constants and exceed the tunnel's
+    # remote-compile payload (CLAUDE.md). The reference uses its own
+    # multistep order-2 + its built-in thresholding (old API:
+    # DPM_Solver(predict_x0=True, thresholding=True)); same NFE, same grid.
+    dt_ref = None
+    if args.reference_arm:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "reference_dpm_solver_jax", "/root/reference/dpm_solver_jax.py")
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        ns_ref = ref.NoiseScheduleVP(
+            "discrete", betas=jnp.asarray(config.diffusion.betas(),
+                                          jnp.float32))
+
+        def ref_run(x, up, cp):
+            raw_ref = lambda xx, tt: unet.apply(
+                up, xx, tt, y, None, deterministic=True)[..., :3]
+            clf_ref = lambda xx, tt, cond: jax.nn.log_softmax(
+                clf.apply(cp, xx, tt, deterministic=True), axis=-1)[
+                jnp.arange(xx.shape[0]), cond]
+            mf = ref.model_wrapper(
+                raw_ref, ns_ref, model_type="noise",
+                guidance_type="classifier", condition=y,
+                guidance_scale=scale, classifier_fn=clf_ref)
+            # thresholding=False: the reference JAX file's own thresholding
+            # cannot run (jnp.max arity bug at dpm_solver_jax.py:396, the
+            # known defect SURVEY.md §7 documents). It is an elementwise
+            # clamp — negligible cost next to 20 UNet+classifier evals —
+            # so the unthresholded arm is a fair throughput baseline.
+            solver = ref.DPM_Solver(mf, ns_ref, predict_x0=True,
+                                    thresholding=False, max_val=1.0)
+            return solver.sample(
+                x, steps=args.steps, order=2, skip_type="time_uniform",
+                method="multistep", t_start=jnp.asarray(1.0),
+                t_end=jnp.asarray(1e-3))
+
+        jref = jax.jit(ref_run)
+        t0 = time.perf_counter()
+        ref0 = jref(x_T, uparams, cparams)
+        sync(ref0)
+        print(f"# reference arm compile+warm {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+        assert np.isfinite(np.asarray(ref0)).all()
+        t0 = time.perf_counter()
+        ro = None
+        for _ in range(args.reps):
+            ro = jref(x_T, uparams, cparams)
+        sync(ro)
+        dt_ref = (time.perf_counter() - t0) / args.reps
+        print(f"# reference arm: {dt_ref*1e3:.0f} ms/batch", file=sys.stderr,
+              flush=True)
+
     # roofline: per-NFE program = UNet eval + classifier fwd+bwd (~3x fwd).
     # Flops counted on a forced-XLA lowering — cost analysis can't see
     # inside Pallas custom calls, and the flop count is dispatch-invariant.
@@ -165,6 +227,12 @@ def main():
         "flops_per_batch": flops,
         "implied_tflops": round(tfs, 2),
         "mfu": round(flops / dt / peak, 4) if peak else None,
+        "vs_baseline": (round(dt_ref / dt, 3) if dt_ref else None),
+        "baseline": ("reference_dpm_solver_jax classifier-guided, same "
+                     "ADM+classifier ports, same session"
+                     if dt_ref else None),
+        "baseline_ms_per_batch": (round(dt_ref * 1e3, 1) if dt_ref
+                                  else None),
     }))
 
 
