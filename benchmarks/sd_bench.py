@@ -60,6 +60,13 @@ def main():
                    help="int8 dynamic-quantized transformer stack "
                         "(ops/quant.py); A/B against the default bf16 run "
                         "from the same session")
+    p.add_argument("--baseline-xla", action="store_true",
+                   help="compile the per-step baseline with ALL Pallas "
+                        "dispatch forced to XLA — the faithful stand-in "
+                        "for stock flax/diffusers on this chip (which has "
+                        "none of this repo's kernels). Without it the "
+                        "baseline reuses our fast compiled eval and only "
+                        "measures orchestration overhead.")
     args = p.parse_args()
 
     import os
@@ -181,15 +188,27 @@ def main():
         return x_new, x0
 
     zz = jnp.zeros_like(x_T)
-    jstep = jax.jit(step_impl).lower(params, x_T, zz, zz, row0).compile()
+    if args.baseline_xla:
+        from benchmarks.roofline import forced_xla
+
+        with forced_xla():
+            jstep = jax.jit(step_impl).lower(params, x_T, zz, zz,
+                                             row0).compile()
+            if not args.skip_vae:
+                jdecode = jax.jit(
+                    lambda vp, z: vae.apply(vp, z / 0.18215,
+                                            method=AutoencoderKL.decode)
+                ).lower(vae_params, x_T).compile()
+    else:
+        jstep = jax.jit(step_impl).lower(params, x_T, zz, zz, row0).compile()
+        if not args.skip_vae:
+            jdecode = jax.jit(
+                lambda vp, z: vae.apply(vp, z / 0.18215,
+                                        method=AutoencoderKL.decode)
+            ).lower(vae_params, x_T).compile()
     jcombine = jax.jit(
         lambda x, h0, h1, row: row[0] * x + row[1] * h0 + row[2] * h1
     ).lower(x_T, zz, zz, tail_dev).compile()
-    if not args.skip_vae:
-        jdecode = jax.jit(
-            lambda vp, z: vae.apply(vp, z / 0.18215,
-                                    method=AutoencoderKL.decode)
-        ).lower(vae_params, x_T).compile()
 
     def cost_flops(compiled):
         ca = compiled.cost_analysis()
