@@ -189,6 +189,31 @@ def main():
         print(f"# reference arm: {dt_ref*1e3:.0f} ms/batch", file=sys.stderr,
               flush=True)
 
+        # Like-for-like arm: ours WITHOUT thresholding, matching the
+        # reference arm's math exactly (the canonical arm above pays a
+        # per-step 1.5M-element quantile sort the reference arm cannot
+        # run). vs_baseline stays the canonical-config ratio; this one
+        # isolates the solver-driver comparison.
+        fn_nt = build_sampler(
+            model_fn, ns, steps=args.steps, order=2, method="multistep",
+            skip_type="time_uniform")
+        jnt = jit_hoisting_constants(fn_nt, x_T)
+        t0 = time.perf_counter()
+        sync(jnt(x_T))
+        print(f"# matched arm compile+warm {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        no = None
+        for _ in range(args.reps):
+            no = jnt(x_T)
+        sync(no)
+        dt_nt = (time.perf_counter() - t0) / args.reps
+        print(f"# matched (no-threshold) arm: {dt_nt*1e3:.0f} ms/batch "
+              f"({dt_ref/dt_nt:.3f}x vs reference)", file=sys.stderr,
+              flush=True)
+    else:
+        dt_nt = None
+
     # roofline: per-NFE program = UNet eval + classifier fwd+bwd (~3x fwd).
     # Flops counted on a forced-XLA lowering — cost analysis can't see
     # inside Pallas custom calls, and the flop count is dispatch-invariant.
@@ -233,6 +258,15 @@ def main():
                      if dt_ref else None),
         "baseline_ms_per_batch": (round(dt_ref * 1e3, 1) if dt_ref
                                   else None),
+        "vs_baseline_matched": (round(dt_ref / dt_nt, 3) if dt_nt
+                                else None),
+        "matched_ms_per_batch": (round(dt_nt * 1e3, 1) if dt_nt else None),
+        "matched_note": ("ours without dynamic thresholding — identical "
+                         "math to the reference arm (whose own thresholding "
+                         "is unrunnable, dpm_solver_jax.py:396 jnp.max "
+                         "arity bug); the canonical vs_baseline arm pays a "
+                         "per-step quantile sort the baseline does not"
+                         if dt_nt else None),
     }))
 
 

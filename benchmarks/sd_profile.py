@@ -77,6 +77,20 @@ def main():
 
     rows = {}
 
+    def stage(name, fn):
+        # A diagnostic arm that cannot compile (e.g. forced-XLA attention
+        # at batch 8 materializes ~13.6 GB of 9216^2 score matrices and
+        # OOMs HBM) must not kill the rest of the split.
+        try:
+            rows[name] = fn()
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            if "memory space hbm" in msg or "Ran out of memory" in msg:
+                msg = ("compile OOM: " +
+                       msg[msg.find("Ran out of memory"):][:120])
+            rows[name] = {"error": msg[:400]}
+        print(f"# {name}: {rows[name]}", file=sys.stderr, flush=True)
+
     # params stay jit ARGUMENTS: as closure constants the 866M weights
     # embed in the HLO and exceed the tunnel's remote-compile payload
     # limit (HTTP 413)
@@ -89,19 +103,22 @@ def main():
     orig = attn_mod.token_attention
     for name, force in [("unet_eval_pallas_attn", None),
                         ("unet_eval_xla_attn", False)]:
-        def patched(q, k, v, **kw):
-            kw["use_pallas"] = force
+        def patched(q, k, v, __force=force, **kw):
+            kw["use_pallas"] = __force
             return orig(q, k, v, **kw)
 
         attn_mod.token_attention = patched if force is not None else orig
-        jfn = jax.jit(lambda pp, xx: jax.lax.scan(
-            lambda c, _: (unet_eval(pp, c), None), xx, None, length=4)[0])
-        compiled = jfn.lower(params, x).compile()
-        dt = timed(lambda xx: compiled(params, xx), x, args.reps) / 4
-        flops = cost_compiled(compiled)
-        rows[name] = {"ms": round(dt * 1e3, 1),
-                      "tflops_s": round(flops / dt / 1e12, 1)}
-        print(f"# {name}: {rows[name]}", file=sys.stderr, flush=True)
+
+        def run_arm():
+            jfn = jax.jit(lambda pp, xx: jax.lax.scan(
+                lambda c, _: (unet_eval(pp, c), None), xx, None, length=4)[0])
+            compiled = jfn.lower(params, x).compile()
+            dt = timed(lambda xx: compiled(params, xx), x, args.reps) / 4
+            flops = cost_compiled(compiled)
+            return {"ms": round(dt * 1e3, 1),
+                    "tflops_s": round(flops / dt / 1e12, 1)}
+
+        stage(name, run_arm)
     attn_mod.token_attention = orig
 
     # conv-trunk-only twin (no SpatialTransformer blocks): splits the eval
@@ -116,15 +133,15 @@ def main():
         return conv_unet.apply(pp, xx, tt, None, None,
                                deterministic=True).astype(jnp.float32)
 
-    jconv = jax.jit(lambda pp, xx: jax.lax.scan(
-        lambda c, _: (conv_eval(pp, c), None), xx, None, length=4)[0])
-    cconv = jconv.lower(conv_params, x).compile()
-    dt = timed(lambda xx: cconv(conv_params, xx), x, args.reps) / 4
-    rows["unet_conv_trunk_only"] = {
-        "ms": round(dt * 1e3, 1),
-        "tflops_s": round(cost_compiled(cconv) / dt / 1e12, 1)}
-    print(f"# unet_conv_trunk_only: {rows['unet_conv_trunk_only']}",
-          file=sys.stderr, flush=True)
+    def run_conv():
+        jconv = jax.jit(lambda pp, xx: jax.lax.scan(
+            lambda c, _: (conv_eval(pp, c), None), xx, None, length=4)[0])
+        cconv = jconv.lower(conv_params, x).compile()
+        dt = timed(lambda xx: cconv(conv_params, xx), x, args.reps) / 4
+        return {"ms": round(dt * 1e3, 1),
+                "tflops_s": round(cost_compiled(cconv) / dt / 1e12, 1)}
+
+    stage("unet_conv_trunk_only", run_conv)
 
     vae = AutoencoderKL(config=VAEConfig.sd_v1(), dtype=jnp.bfloat16)
     z = x[: args.batch]
@@ -139,26 +156,32 @@ def main():
             vp, zz / 0.18215, method=AutoencoderKL.decode
         ).astype(jnp.float32))
 
-    # flops from a forced-XLA lowering: cost analysis can't see inside the
-    # Pallas conv3x3 custom calls, and the flop count is the same either way
-    import dpm_solver_tpu.ops.conv3x3 as _c3
-    _orig_pred = _c3.conv3x3_supported
-    _c3.conv3x3_supported = lambda *a: False
-    dec_flops = cost_compiled(make_dec().lower(vae_params, z).compile())
-    _c3.conv3x3_supported = _orig_pred
-    cdec = make_dec().lower(vae_params, z).compile()
-    dt = timed(lambda zz: cdec(vae_params, zz), z, max(2, args.reps // 2))
-    rows["vae_decode"] = {"ms": round(dt * 1e3, 1),
-                          "tflops_s": round(dec_flops / dt / 1e12, 1)}
-    print(f"# vae_decode: {rows['vae_decode']}", file=sys.stderr, flush=True)
+    def run_dec():
+        # flops from a forced-XLA lowering: cost analysis can't see inside
+        # the Pallas conv3x3 custom calls, and the flop count is the same
+        # either way
+        import dpm_solver_tpu.ops.conv3x3 as _c3
+        _orig_pred = _c3.conv3x3_supported
+        _c3.conv3x3_supported = lambda *a: False
+        dec_flops = cost_compiled(make_dec().lower(vae_params, z).compile())
+        _c3.conv3x3_supported = _orig_pred
+        cdec = make_dec().lower(vae_params, z).compile()
+        dt = timed(lambda zz: cdec(vae_params, zz), z,
+                   max(2, args.reps // 2))
+        return {"ms": round(dt * 1e3, 1),
+                "tflops_s": round(dec_flops / dt / 1e12, 1)}
 
-    steps20 = 20 * rows["unet_eval_pallas_attn"]["ms"]
-    total = steps20 + rows["vae_decode"]["ms"]
-    rows["derived"] = {
-        "sampler_20nfe_ms_batch": round(steps20, 1),
-        "pipe_ms_per_image": round(total / args.batch, 1),
-        "vae_share_pct": round(100 * rows["vae_decode"]["ms"] / total, 1),
-    }
+    stage("vae_decode", run_dec)
+
+    if ("ms" in rows.get("unet_eval_pallas_attn", {})
+            and "ms" in rows.get("vae_decode", {})):
+        steps20 = 20 * rows["unet_eval_pallas_attn"]["ms"]
+        total = steps20 + rows["vae_decode"]["ms"]
+        rows["derived"] = {
+            "sampler_20nfe_ms_batch": round(steps20, 1),
+            "pipe_ms_per_image": round(total / args.batch, 1),
+            "vae_share_pct": round(100 * rows["vae_decode"]["ms"] / total, 1),
+        }
     print(json.dumps({"metric": "sd21_stage_profile", "batch": args.batch,
                       "latent": args.latent,
                       "platform": jax.devices()[0].platform,
