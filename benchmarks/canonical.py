@@ -51,7 +51,8 @@ SOURCES = {
 }
 
 KEEP = ("metric", "value", "unit", "vs_baseline", "baseline", "mfu",
-        "implied_tflops", "batch", "dtype", "quant", "best_arm")
+        "implied_tflops", "batch", "dtype", "quant", "best_arm",
+        "vs_baseline_matched", "matched_note", "weights")
 
 
 def _scan_lines(text):

@@ -64,6 +64,14 @@ ITEMS = [
     ("attn_out_fused",
      [sys.executable, "benchmarks/attn_out_fused_bench.py"], 2400),
     ("roofline", [sys.executable, "benchmarks/roofline.py"], 3600),
+    # bf16 weight residency (round 4): halves the 866M UNet's param HBM
+    # footprint — the batch-8 profile put the fp32-weights program within
+    # ~2 GB of HBM capacity (results_sd_stage_profile_b8_v5e.json)
+    ("sd_bench_wbf16",
+     [sys.executable, "benchmarks/sd_bench.py", "--weights", "bf16"], 5400),
+    ("sd_bench_wbf16_b8",
+     [sys.executable, "benchmarks/sd_bench.py", "--weights", "bf16",
+      "--batch", "8"], 5400),
     # assembles results_canonical_v5e.json from the freshest artifacts —
     # run last (host-only, no chip needed)
     ("canonical", [sys.executable, "benchmarks/canonical.py"], 600),

@@ -60,6 +60,14 @@ def main():
                    help="int8 dynamic-quantized transformer stack "
                         "(ops/quant.py); A/B against the default bf16 run "
                         "from the same session")
+    p.add_argument("--weights", choices=["fp32", "bf16"], default="fp32",
+                   help="parameter storage dtype for UNet+VAE. bf16 halves "
+                        "weight HBM residency (3.46 GB -> 1.73 GB for the "
+                        "866M UNet) and removes the fp32->bf16 convert "
+                        "temps the batch-8 OOM dump showed; norm statistics "
+                        "stay fp32 (GroupNorm32 upcasts scale/bias). Ships "
+                        "with a full-trajectory quality gate vs fp32 "
+                        "weights, like --quant.")
     p.add_argument("--baseline-xla", action="store_true",
                    help="compile the per-step baseline with ALL Pallas "
                         "dispatch forced to XLA — the faithful stand-in "
@@ -105,6 +113,16 @@ def main():
     print(f"# unet init: {n_params/1e6:.0f}M params, "
           f"{time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
 
+    def cast_weights(tree):
+        if args.weights != "bf16":
+            return tree
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, tree)
+
+    raw_params = params  # uncast fp32 originals for the quality gate
+    params = cast_weights(params)
+
     ns = NoiseScheduleVP.discrete(betas=make_ldm_betas())
     cond, uncond = ctx[: args.batch], ctx[args.batch:]
     model_fn = model_wrapper(
@@ -131,9 +149,10 @@ def main():
         if args.quant:
             vcfg = dataclasses.replace(vcfg, quant=args.quant)
         vae = AutoencoderKL(config=vcfg, dtype=jnp.bfloat16)
-        vae_params = jax.jit(lambda r: vae.init(
+        raw_vae_params = jax.jit(lambda r: vae.init(
             r, jnp.zeros((1, 8 * args.latent, 8 * args.latent, 3))))(
                 jax.random.key(1))
+        vae_params = cast_weights(raw_vae_params)
         print("# vae init done", file=sys.stderr, flush=True)
 
         def pipe_fn(x_T):
@@ -250,21 +269,24 @@ def main():
     # speed number must travel with its end-to-end quality cost, not just
     # the per-op deviation ----------------------------------------------
     quality = None
-    if args.quant:
+    if args.quant or args.weights == "bf16":
         # perturb every leaf: random-init UNets have zero-init output
         # projections (eps == 0 -> identical trajectories, vacuous gate);
-        # quant_bench.py uses the same trick
+        # quant_bench.py uses the same trick. Perturbation happens on the
+        # UNCAST fp32 originals so the fp32-weights control arm is exact.
+        fp32_params = raw_params
         qparams = jax.jit(lambda p, r: jax.tree.map(
             lambda a, k: a + 0.02 * jax.random.normal(k, a.shape, a.dtype),
             p, jax.tree.unflatten(jax.tree.structure(p),
                                   list(jax.random.split(
                                       r, len(jax.tree.leaves(p)))))))(
-            params, jax.random.key(7))
-        def make_pipe(quant_mode):
+            fp32_params, jax.random.key(7))
+
+        def make_pipe(quant_mode, wp, vp):
             net = ADMUNet(config=dataclasses.replace(ucfg, quant=quant_mode),
                           compute_dtype=jnp.bfloat16)
             mf = model_wrapper(
-                lambda x, t, c: net.apply(qparams, x, t, None, c,
+                lambda x, t, c: net.apply(wp, x, t, None, c,
                                           deterministic=True),
                 ns, model_type="v", guidance_type="classifier-free",
                 condition=cond, unconditional_condition=uncond,
@@ -278,13 +300,24 @@ def main():
                 dtype=jnp.bfloat16)
 
             def pf(x):
-                return dec.apply(vae_params, smp(x) / 0.18215,
+                return dec.apply(vp, smp(x) / 0.18215,
                                  method=AutoencoderKL.decode)
 
             return jit_hoisting_constants(pf, x_T)
 
-        a = np.asarray(make_pipe(args.quant)(x_T), np.float64)
-        b = np.asarray(make_pipe(None)(x_T), np.float64)
+        vp_fp32 = None if args.skip_vae else raw_vae_params
+        if args.quant:
+            a = np.asarray(make_pipe(args.quant, qparams, vp_fp32)(x_T),
+                           np.float64)
+        else:  # bf16-weights arm vs the fp32-weights control
+            qp_bf16 = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, qparams)
+            a = np.asarray(
+                make_pipe(None, qp_bf16,
+                          None if args.skip_vae else vae_params)(x_T),
+                np.float64)
+        b = np.asarray(make_pipe(None, qparams, vp_fp32)(x_T), np.float64)
         space = "latent" if args.skip_vae else "decoded [-1,1]"
         quality = {
             "space": space,
@@ -297,7 +330,8 @@ def main():
             quality["pixel_rmse_0_255"] = round(quality["rmse"] * 127.5, 3)
             quality["pixel_frac_within_1"] = float(
                 np.mean(np.abs(a - b) * 127.5 <= 1.0))
-        print(f"# quant quality vs float ({space}): rmse "
+        mode = args.quant or "bf16 weights"
+        print(f"# {mode} quality vs fp32-weights ({space}): rmse "
               f"{quality['rmse']:.5f}, rel {quality['rel_rmse']:.4f}",
               file=sys.stderr, flush=True)
 
@@ -310,8 +344,10 @@ def main():
           f"({flops/dt_base/1e12:.1f} TF/s)", file=sys.stderr)
     print(json.dumps({
         "metric": (f"sd21_{args.steps}nfe_cfg_samples_per_sec_per_chip"
-                   + (f"_{args.quant}" if args.quant else "")),
+                   + (f"_{args.quant}" if args.quant else "")
+                   + ("_wbf16" if args.weights == "bf16" else "")),
         "quant": args.quant,
+        "weights": args.weights,
         "value": round(sps, 3),
         "unit": "samples/s",
         "vs_baseline": round(dt_base / dt, 3),
