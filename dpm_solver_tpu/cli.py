@@ -265,11 +265,20 @@ def cmd_sample(args):
     else:
         x_T = jax.random.normal(jax.random.PRNGKey(args.seed),
                                 (args.batch,) + sample_shape)
+    mesh = None
+    if getattr(args, "devices", None):
+        from dpm_solver_tpu.parallel import make_mesh
+
+        n = args.devices
+        if args.batch % n:
+            raise SystemExit(f"--batch {args.batch} not divisible by "
+                             f"--devices {n}")
+        mesh = make_mesh(jax.devices()[:n])
     out = solver.sample(
         x_T, steps=scfg.steps, t_start=scfg.t_start, t_end=scfg.t_end or 1e-3,
         order=scfg.order, skip_type=scfg.skip_type, method=scfg.method,
         lower_order_final=scfg.lower_order_final,
-        return_intermediate=(mode == "sequence"))
+        return_intermediate=(mode == "sequence"), mesh=mesh)
     if mode == "sequence":
         # per-step trajectory snapshots (ref runners/diffusion.py:461-482
         # sample_sequence): files named {sample}_{step}.png
@@ -734,6 +743,11 @@ def main(argv=None):
                              "adaptive", "unipc"),
                     help="override the config's solver method (unipc = "
                          "predictor-corrector, beyond the reference)")
+    sp.add_argument("--devices", type=int, default=None,
+                    help="shard the batch over the first N visible devices "
+                         "(one pjit program, weights replicated) — replaces "
+                         "the reference's mp.spawn/DDP sampling launcher; "
+                         "default: single device")
     sp.set_defaults(fn=cmd_sample)
 
     tp = sub.add_parser("train")

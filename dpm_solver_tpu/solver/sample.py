@@ -465,6 +465,7 @@ class DPM_Solver:
         jit: bool = True,
         denoise: Optional[bool] = None,
         variant: str = "bh2",
+        mesh=None,
     ):
         if denoise is not None:  # older JAX kwarg (dpm_solver_jax.py:966-968)
             denoise_to_zero = bool(denoise)
@@ -472,6 +473,11 @@ class DPM_Solver:
             raise ValueError(f"method must be one of {METHODS}, got {method!r}")
         # the older JAX API spells it 'dpm_solver' (dpm_solver_jax.py:541)
         solver_type = {"dpm_solver": "dpmsolver"}.get(solver_type, solver_type)
+        if mesh is not None and method == "adaptive":
+            raise ValueError(
+                "method='adaptive' does not take a mesh (per-chip step-size "
+                "control would diverge across shards); shard fixed-grid "
+                "methods, or pjit adaptive_sample yourself")
         if method == "adaptive":
             if return_intermediate:
                 raise ValueError("cannot save intermediates with the adaptive solver")
@@ -502,7 +508,7 @@ class DPM_Solver:
         key = (
             steps, t_start, t_end, order, skip_type, method, lower_order_final,
             denoise_to_zero, solver_type, return_intermediate, x.shape,
-            str(x.dtype), jit, rng is None, variant,
+            str(x.dtype), jit, rng is None, variant, mesh,
         )
         fn = self._compiled_cache.get(key)
         if fn is None:
@@ -520,7 +526,16 @@ class DPM_Solver:
                 correcting_xt_fn=self.correcting_xt_fn,
                 return_intermediate=return_intermediate,
             )
-            if jit:
+            if mesh is not None:
+                # one pjit program, latent batch sharded over the mesh's
+                # data axis, weights hoisted to replicated jit arguments
+                # (replaces the reference's mp.spawn/DDP sampling launcher)
+                from dpm_solver_tpu.parallel import make_sharded_sampler
+
+                raw_fn = fn
+                fn = make_sharded_sampler(
+                    lambda xx, rr: raw_fn(xx, rng=rr), mesh)
+            elif jit:
                 fn = jit_hoisting_constants(fn, x, rng)
             self._compiled_cache[key] = fn
         return fn(x, rng=rng)

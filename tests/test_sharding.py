@@ -104,3 +104,30 @@ def test_adaptive_solver_under_sharding(tiny_setup):
     assert x0.shape == x_T.shape
     assert int(nfe) > 0
     assert np.all(np.isfinite(np.asarray(x0)))
+
+
+def test_dpm_solver_sample_mesh_kwarg(tiny_setup):
+    """DPM_Solver.sample(mesh=...) == single-device sample: the class API
+    routes through make_sharded_sampler (replaces the reference's
+    mp.spawn/DDP sampling launcher, main.py + runners/diffusion.py)."""
+    from dpm_solver_tpu import DPM_Solver
+
+    cfg, model, params, ns = tiny_setup
+    model_fn = model_wrapper(lambda x, t: model.apply(params, x, t), ns)
+    x_T = np.random.default_rng(3).standard_normal((8, 16, 16, 3)).astype(
+        np.float32)
+
+    single = np.asarray(
+        DPM_Solver(model_fn, ns).sample(jnp.asarray(x_T), steps=6, order=2,
+                                        method="multistep"))
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = np.asarray(
+        DPM_Solver(model_fn, ns).sample(jnp.asarray(x_T), steps=6, order=2,
+                                        method="multistep", mesh=mesh))
+    scale = max(1.0, np.abs(single).max())
+    np.testing.assert_allclose(sharded / scale, single / scale,
+                               rtol=0, atol=1e-4)
+
+    with pytest.raises(ValueError, match="adaptive"):
+        DPM_Solver(model_fn, ns).sample(jnp.asarray(x_T), method="adaptive",
+                                        mesh=mesh)
