@@ -72,6 +72,15 @@ ITEMS = [
     ("sd_bench_wbf16_b8",
      [sys.executable, "benchmarks/sd_bench.py", "--weights", "bf16",
       "--batch", "8"], 5400),
+    # chain-timed tile re-sweeps: the committed per-call sweeps are
+    # dispatch-inflated (annotated r4); a dispatch-free sweep may rank
+    # tiles differently
+    ("attn_sweep_chain_9216",
+     [sys.executable, "benchmarks/attn_sweep.py", "--chain",
+      "--shape", "40,9216,64"], 3600),
+    ("attn_sweep_chain_2304",
+     [sys.executable, "benchmarks/attn_sweep.py", "--chain",
+      "--shape", "80,2304,64"], 3600),
     # assembles results_canonical_v5e.json from the freshest artifacts —
     # run last (host-only, no chip needed)
     ("canonical", [sys.executable, "benchmarks/canonical.py"], 600),
