@@ -533,8 +533,10 @@ class DPM_Solver:
                 from dpm_solver_tpu.parallel import make_sharded_sampler
 
                 raw_fn = fn
+                # donate_x=False: callers own x_T in this reference-shaped
+                # API and may reuse it (e.g. to compare solver settings)
                 fn = make_sharded_sampler(
-                    lambda xx, rr: raw_fn(xx, rng=rr), mesh)
+                    lambda xx, rr: raw_fn(xx, rng=rr), mesh, donate_x=False)
             elif jit:
                 fn = jit_hoisting_constants(fn, x, rng)
             self._compiled_cache[key] = fn
