@@ -264,6 +264,17 @@ def main():
     flops = args.steps * cost_flops(jstep) + cost_flops(jcombine)
     if not args.skip_vae:
         flops += cost_flops(jdecode)
+    # timing is printed BEFORE the quality gate: the gate instantiates a
+    # second param set + two extra pipes and can RESOURCE_EXHAUST at big
+    # batch — a gate failure must not lose the measurement
+    plat = jax.devices()[0].platform
+    peak = None if plat == "cpu" else 197e12  # v5e bf16
+    sps = args.batch / dt
+    tfs = flops / dt / 1e12
+    print(f"# ours {dt*1e3:.0f} ms/batch ({dt*1e3/args.batch:.0f} ms/image, "
+          f"{tfs:.1f} TF/s) | per-step baseline {dt_base*1e3:.0f} ms/batch "
+          f"({flops/dt_base/1e12:.1f} TF/s)", file=sys.stderr, flush=True)
+
     # ---- int8 trajectory-quality gate (VERDICT r2 item 3): same params,
     # same x_T, full 20-NFE trajectory through the FLOAT stack — the
     # speed number must travel with its end-to-end quality cost, not just
@@ -282,6 +293,14 @@ def main():
                                       r, len(jax.tree.leaves(p)))))))(
             fp32_params, jax.random.key(7))
 
+        # the gate compares per-image trajectories, so batch 4 suffices —
+        # and at batch 8 BOTH param sets + two pipes' buffers resident
+        # together RESOURCE_EXHAUST the chip (the fp32-weights b8 program
+        # alone already runs within ~2 GB of HBM capacity,
+        # results_sd_stage_profile_b8_v5e.json)
+        gate_bs = min(args.batch, 4)
+        gx_T, gcond, guncond = x_T[:gate_bs], cond[:gate_bs], uncond[:gate_bs]
+
         def make_pipe(quant_mode, wp, vp):
             net = ADMUNet(config=dataclasses.replace(ucfg, quant=quant_mode),
                           compute_dtype=jnp.bfloat16)
@@ -289,12 +308,12 @@ def main():
                 lambda x, t, c: net.apply(wp, x, t, None, c,
                                           deterministic=True),
                 ns, model_type="v", guidance_type="classifier-free",
-                condition=cond, unconditional_condition=uncond,
+                condition=gcond, unconditional_condition=guncond,
                 guidance_scale=args.scale)
             smp = build_sampler(mf, ns, steps=args.steps, order=2,
                                 method="multistep", skip_type="time_uniform")
             if args.skip_vae:
-                return jit_hoisting_constants(smp, x_T)
+                return jit_hoisting_constants(smp, gx_T)
             dec = AutoencoderKL(
                 config=dataclasses.replace(vcfg, quant=quant_mode),
                 dtype=jnp.bfloat16)
@@ -303,11 +322,11 @@ def main():
                 return dec.apply(vp, smp(x) / 0.18215,
                                  method=AutoencoderKL.decode)
 
-            return jit_hoisting_constants(pf, x_T)
+            return jit_hoisting_constants(pf, gx_T)
 
         vp_fp32 = None if args.skip_vae else raw_vae_params
         if args.quant:
-            a = np.asarray(make_pipe(args.quant, qparams, vp_fp32)(x_T),
+            a = np.asarray(make_pipe(args.quant, qparams, vp_fp32)(gx_T),
                            np.float64)
         else:  # bf16-weights arm vs the fp32-weights control
             qp_bf16 = jax.tree.map(
@@ -315,9 +334,9 @@ def main():
                 if a.dtype == jnp.float32 else a, qparams)
             a = np.asarray(
                 make_pipe(None, qp_bf16,
-                          None if args.skip_vae else vae_params)(x_T),
+                          None if args.skip_vae else vae_params)(gx_T),
                 np.float64)
-        b = np.asarray(make_pipe(None, qparams, vp_fp32)(x_T), np.float64)
+        b = np.asarray(make_pipe(None, qparams, vp_fp32)(gx_T), np.float64)
         space = "latent" if args.skip_vae else "decoded [-1,1]"
         quality = {
             "space": space,
@@ -335,13 +354,6 @@ def main():
               f"{quality['rmse']:.5f}, rel {quality['rel_rmse']:.4f}",
               file=sys.stderr, flush=True)
 
-    plat = jax.devices()[0].platform
-    peak = None if plat == "cpu" else 197e12  # v5e bf16
-    sps = args.batch / dt
-    tfs = flops / dt / 1e12
-    print(f"# ours {dt*1e3:.0f} ms/batch ({dt*1e3/args.batch:.0f} ms/image, "
-          f"{tfs:.1f} TF/s) | per-step baseline {dt_base*1e3:.0f} ms/batch "
-          f"({flops/dt_base/1e12:.1f} TF/s)", file=sys.stderr)
     print(json.dumps({
         "metric": (f"sd21_{args.steps}nfe_cfg_samples_per_sec_per_chip"
                    + (f"_{args.quant}" if args.quant else "")
