@@ -5,6 +5,7 @@ provenance path rides along with every number).
 
 Canonical configs (BASELINE.md):
   cifar10_multistep     ddpm_and_guided-diffusion/sample.sh:6-17
+  imagenet64_iddpm      ddpm_and_guided-diffusion/sample.sh:19-33
   imagenet256_guided    ddpm_and_guided-diffusion/sample.sh:38-50
   score_sde_singlestep  score_sde_jax/sample.sh:1-10
   sd21_20nfe            examples/stable-diffusion (README.md:141)
@@ -28,6 +29,10 @@ SOURCES = {
         os.path.join(B, "chip_logs", "headline.log"),
         # driver artifacts, newest round first
         *sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), reverse=True),
+    ],
+    "imagenet64_iddpm": [
+        os.path.join(B, "results_imagenet64_v5e.json"),
+        os.path.join(B, "chip_logs", "imagenet64.log"),
     ],
     "imagenet256_guided": [
         os.path.join(B, "results_guided_v5e.json"),

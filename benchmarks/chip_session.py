@@ -81,6 +81,11 @@ ITEMS = [
     ("attn_sweep_chain_2304",
      [sys.executable, "benchmarks/attn_sweep.py", "--chain",
       "--shape", "80,2304,64"], 3600),
+    # the last canonical sample.sh config (imagenet64 i-DDPM cosine) +
+    # the CIFAR headline at reference-protocol batches (both arms/session)
+    ("imagenet64", [sys.executable, "benchmarks/imagenet64_bench.py"], 5400),
+    ("cifar_batch_sweep",
+     [sys.executable, "benchmarks/cifar_batch_sweep.py"], 3600),
     # assembles results_canonical_v5e.json from the freshest artifacts —
     # run last (host-only, no chip needed)
     ("canonical", [sys.executable, "benchmarks/canonical.py"], 600),
