@@ -274,11 +274,28 @@ def cmd_sample(args):
             raise SystemExit(f"--batch {args.batch} not divisible by "
                              f"--devices {n}")
         mesh = make_mesh(jax.devices()[:n])
-    out = solver.sample(
-        x_T, steps=scfg.steps, t_start=scfg.t_start, t_end=scfg.t_end or 1e-3,
-        order=scfg.order, skip_type=scfg.skip_type, method=scfg.method,
-        lower_order_final=scfg.lower_order_final,
-        return_intermediate=(mode == "sequence"), mesh=mesh)
+
+    def run():
+        return solver.sample(
+            x_T, steps=scfg.steps, t_start=scfg.t_start,
+            t_end=scfg.t_end or 1e-3, order=scfg.order,
+            skip_type=scfg.skip_type, method=scfg.method,
+            lower_order_final=scfg.lower_order_final,
+            return_intermediate=(mode == "sequence"), mesh=mesh)
+
+    if getattr(args, "trace_dir", None):
+        # XProf/TensorBoard trace of ONE warm trajectory: compile outside
+        # the capture (a trace of XLA compilation is noise), then record
+        # the steady-state program the profiler annotations (trace_span,
+        # utils/logging.py:114) label. Replaces the reference's commented
+        # CUDA-event timing blocks (runners/diffusion.py:426-449).
+        jax.block_until_ready(jax.tree.leaves(run())[0])  # compile + warm
+        with jax.profiler.trace(args.trace_dir):
+            out = run()
+            jax.block_until_ready(jax.tree.leaves(out)[0])
+        print(f"profiler trace written to {args.trace_dir}")
+    else:
+        out = run()
     if mode == "sequence":
         # per-step trajectory snapshots (ref runners/diffusion.py:461-482
         # sample_sequence): files named {sample}_{step}.png
@@ -748,6 +765,10 @@ def main(argv=None):
                          "(one pjit program, weights replicated) — replaces "
                          "the reference's mp.spawn/DDP sampling launcher; "
                          "default: single device")
+    sp.add_argument("--trace-dir", default=None,
+                    help="capture an XProf/TensorBoard profiler trace of one "
+                         "warm sampling trajectory into this directory "
+                         "(compile happens outside the capture)")
     sp.set_defaults(fn=cmd_sample)
 
     tp = sub.add_parser("train")

@@ -47,6 +47,20 @@ def test_cli_sample_random_weights(tmp_path):
     assert arr.shape == (2, 16, 16, 3) and np.isfinite(arr).all()
 
 
+def test_cli_sample_trace_capture(tmp_path):
+    """--trace-dir captures an XProf trace of one warm trajectory (the
+    observability completion of utils/logging.trace_span; the reference's
+    analog is commented CUDA-event timing, runners/diffusion.py:426-449)."""
+    out, trace = str(tmp_path / "out"), str(tmp_path / "trace")
+    main(["sample", "--config", "tiny_test", "--batch", "2",
+          "--outdir", out, "--trace-dir", trace])
+    arr = np.load(os.path.join(out, "sample.npz"))["samples"]
+    assert arr.shape == (2, 16, 16, 3) and np.isfinite(arr).all()
+    captured = [f for _, _, fs in os.walk(trace) for f in fs]
+    assert any(f.endswith((".pb", ".json.gz", ".xplane.pb"))
+               for f in captured), captured
+
+
 def test_cli_unknown_config_error():
     with pytest.raises(KeyError, match="unknown config"):
         main(["sample", "--config", "nope", "--batch", "1"])
