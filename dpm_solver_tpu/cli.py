@@ -273,6 +273,11 @@ def cmd_sample(args):
         if args.batch % n:
             raise SystemExit(f"--batch {args.batch} not divisible by "
                              f"--devices {n}")
+        if n > len(jax.devices()):
+            raise SystemExit(f"--devices {n} but only {len(jax.devices())} "
+                             f"visible (set XLA_FLAGS="
+                             f"--xla_force_host_platform_device_count={n} "
+                             f"for a CPU mesh)")
         mesh = make_mesh(jax.devices()[:n])
 
     def run():

@@ -334,7 +334,7 @@ def _score_sde_config(name, *, sde, model_preset, continuous, dataset,
                       sigma_max=50.0, num_scales=1000, n_jitted_steps=5,
                       family="ncsnpp", predictor="reverse_diffusion",
                       corrector="none", snr=0.16, n_steps_each=1,
-                      reduce_mean=False):
+                      reduce_mean=False, ema_rate=0.9999):
     def make() -> Config:
         from dpm_solver_tpu.models import (DDPMUNetConfig, NCSNppConfig,
                                            NCSNv2Config)
@@ -358,6 +358,24 @@ def _score_sde_config(name, *, sde, model_preset, continuous, dataset,
             "ncsn_v1": lambda: dataclasses.replace(
                 NCSNv2Config.cifar10(), conditional_norm=True,
                 scale_by_sigma=False, num_scales=10, sigma_max=1.0),
+            # NCSN v1 net under the improved-technique sigma ladders
+            # (ve/ncsn/{cifar10,celeba}_{124,1245}.py: num_scales
+            # 232/500, sigma_max back to the dataset default)
+            "ncsn_v1_t124": lambda: dataclasses.replace(
+                NCSNv2Config.cifar10(), conditional_norm=True,
+                scale_by_sigma=False, num_scales=232, sigma_max=50.0),
+            "ncsn_v1_celeba": lambda: dataclasses.replace(
+                NCSNv2Config.cifar10(), conditional_norm=True,
+                scale_by_sigma=False, image_size=64, num_scales=10,
+                sigma_max=1.0),
+            "ncsn_v1_celeba_t124": lambda: dataclasses.replace(
+                NCSNv2Config.cifar10(), conditional_norm=True,
+                scale_by_sigma=False, image_size=64, num_scales=500,
+                sigma_max=90.0),
+            # time-unconditional DDPM (vp/ddpm/cifar10_unconditional.py
+            # model.conditional=False — NCSNv2 technique 3)
+            "ddpm_unconditional": lambda: dataclasses.replace(
+                DDPMUNetConfig.cifar10(), conditional=False),
             "ncsnv2_cifar10": NCSNv2Config.cifar10,
             "ncsnv2_celeba": lambda: dataclasses.replace(
                 NCSNv2Config.cifar10(), image_size=64, num_scales=500,
@@ -381,7 +399,7 @@ def _score_sde_config(name, *, sde, model_preset, continuous, dataset,
                 batch_size=batch_size, sde=sde + "sde",
                 continuous=continuous, reduce_mean=reduce_mean,
                 n_jitted_steps=n_jitted_steps, sigma_max=sigma_max,
-                num_scales=num_scales),
+                num_scales=num_scales, ema_rate=ema_rate),
             eval=EvalConfig(batch_size=eval_batch, num_samples=50_000),
         )
 
@@ -392,10 +410,10 @@ def _score_sde_config(name, *, sde, model_preset, continuous, dataset,
 def _register_score_sde_matrix():
     """The reference's per-experiment config tree, one registry entry per
     file (score_sde_jax/configs/{vp,subvp,ve}/*.py + vp/ddpm/* +
-    ve/{ncsn,ncsnv2}/*). Not registered: vp/ddpm/cifar10_unconditional
-    (conditional=False nets drop the time embedding — no published ckpt)
-    and the ve/ncsn celeba sigma-subset ablations (celeba_124 etc., which
-    differ only in which ladder entries the ALD loop visits)."""
+    ve/{ncsn,ncsnv2}/*) — all 39 files, including the NCSN
+    improved-technique ablations and vp/ddpm/cifar10_unconditional;
+    test_score_sde_configs.py asserts the count against the reference
+    file list."""
     # vp/subvp files all set training.reduce_mean=True and sample with
     # pc/euler_maruyama (e.g. vp/cifar10_ddpmpp_continuous.py)
     C = dict(dataset="cifar10", image_size=32, centered=True,
@@ -474,13 +492,51 @@ def _register_score_sde_matrix():
                           family="ddpm_unet", dataset=ds, image_size=256,
                           centered=True, batch_size=64, eval_batch=64,
                           reduce_mean=True, predictor="euler_maruyama")
-    # NCSN v1 (ref configs/ve/ncsn/cifar10.py: conditional InstanceNorm++,
-    # 10-sigma ladder to 1.0, ALD sampling)
+    # discrete time-unconditional DDPM (ref vp/ddpm/cifar10_unconditional.py:
+    # model.conditional=False, ancestral PC sampling, reduce_mean=True)
+    _score_sde_config("score_sde_cifar10_vp_ddpm_unconditional", sde="vp",
+                      model_preset="ddpm_unconditional", continuous=False,
+                      family="ddpm_unet", dataset="cifar10", image_size=32,
+                      centered=True, reduce_mean=True,
+                      predictor="ancestral_sampling")
+    # NCSN v1 (ref configs/ve/ncsn/{cifar10,celeba}.py: conditional
+    # InstanceNorm++, 10-sigma ladder to 1.0, ALD 100 steps snr .316, no EMA)
     _score_sde_config("score_sde_cifar10_ve_ncsn", sde="ve",
                       model_preset="ncsn_v1", continuous=False,
                       family="ncsnv2", num_scales=10, sigma_max=1.0,
                       predictor="none", corrector="ald", snr=0.316,
-                      n_steps_each=100, **CU)
+                      n_steps_each=100, ema_rate=0.0, **CU)
+    _score_sde_config("score_sde_celeba64_ve_ncsn", sde="ve",
+                      model_preset="ncsn_v1_celeba", continuous=False,
+                      family="ncsnv2", dataset="celeba", image_size=64,
+                      centered=False, num_scales=10, sigma_max=1.0,
+                      predictor="none", corrector="ald", snr=0.316,
+                      n_steps_each=100, ema_rate=0.0)
+    # NCSN improved-technique ablations (ref ve/ncsn/*_{124,1245,5}.py):
+    # _124 = techniques 1+2+4 (dataset-default sigma_max, geometric ladder
+    # 232/500, ALD 5 steps at tuned snr), no EMA; _1245 adds EMA .999;
+    # _5 = EMA alone on the original NCSNv1 recipe.
+    for ds, preset, scales, s in (("cifar10", "ncsn_v1_t124", 232, 0.176),
+                                  ("celeba", "ncsn_v1_celeba_t124", 500,
+                                   0.128)):
+        size = 32 if ds == "cifar10" else 64
+        smax = 50.0 if ds == "cifar10" else 90.0
+        base = dict(sde="ve", model_preset=preset, continuous=False,
+                    family="ncsnv2", dataset=ds, image_size=size,
+                    centered=False, num_scales=scales, sigma_max=smax,
+                    predictor="none", corrector="ald", snr=s,
+                    n_steps_each=5)
+        nm = "cifar10" if ds == "cifar10" else "celeba64"
+        _score_sde_config(f"score_sde_{nm}_ve_ncsn_124", ema_rate=0.0,
+                          **base)
+        _score_sde_config(f"score_sde_{nm}_ve_ncsn_1245", ema_rate=0.999,
+                          **base)
+        _score_sde_config(
+            f"score_sde_{nm}_ve_ncsn_5", sde="ve",
+            model_preset="ncsn_v1" if ds == "cifar10" else "ncsn_v1_celeba",
+            continuous=False, family="ncsnv2", dataset=ds, image_size=size,
+            centered=False, num_scales=10, sigma_max=1.0, predictor="none",
+            corrector="ald", snr=0.316, n_steps_each=100, ema_rate=0.999)
     # legacy NCSNv2 (ref configs/ve/ncsnv2/*.py: annealed Langevin only;
     # per-file snr/n_steps_each)
     _score_sde_config("score_sde_cifar10_ve_ncsnv2", sde="ve",

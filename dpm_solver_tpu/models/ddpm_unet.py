@@ -37,6 +37,10 @@ class DDPMUNetConfig:
     in_channels: int = 3
     resolution: int = 32
     resamp_with_conv: bool = True
+    # conditional=False drops the time embedding entirely (NCSNv2
+    # "technique 3"; ref score_sde_jax/models/ddpm.py:60-67 `if conditional`
+    # and configs/vp/ddpm/cifar10_unconditional.py model.conditional=False)
+    conditional: bool = True
 
     @staticmethod
     def cifar10() -> "DDPMUNetConfig":
@@ -98,8 +102,9 @@ class ResnetBlock(nn.Module):
                                     dtype=self.compute_dtype, name=name)
         h = swish(GroupNorm32(name="norm1")(x))
         h = conv("conv1")(h)
-        h = h + nn.Dense(self.out_channels, dtype=self.compute_dtype,
-                         name="temb_proj")(swish(temb))[:, None, None, :]
+        if temb is not None:  # unconditional nets pass None (ref ddpm.py:78)
+            h = h + nn.Dense(self.out_channels, dtype=self.compute_dtype,
+                             name="temb_proj")(swish(temb))[:, None, None, :]
         h = swish(GroupNorm32(name="norm2")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv("conv2")(h)
@@ -171,9 +176,12 @@ class DDPMUNet(nn.Module):
         num_res = len(cfg.ch_mult)
         temb_ch = cfg.ch * 4
 
-        temb = timestep_embedding(t, cfg.ch)
-        temb = nn.Dense(temb_ch, dtype=dt, name="temb_dense0")(temb)
-        temb = nn.Dense(temb_ch, dtype=dt, name="temb_dense1")(swish(temb))
+        if cfg.conditional:
+            temb = timestep_embedding(t, cfg.ch)
+            temb = nn.Dense(temb_ch, dtype=dt, name="temb_dense0")(temb)
+            temb = nn.Dense(temb_ch, dtype=dt, name="temb_dense1")(swish(temb))
+        else:  # time-unconditional net (ref score_sde_jax/models/ddpm.py:71)
+            temb = None
 
         x = x.astype(dt)
         hs = [nn.Conv(cfg.ch, (3, 3), padding=1, dtype=dt, name="conv_in")(x)]

@@ -473,6 +473,10 @@ class DPM_Solver:
             raise ValueError(f"method must be one of {METHODS}, got {method!r}")
         # the older JAX API spells it 'dpm_solver' (dpm_solver_jax.py:541)
         solver_type = {"dpm_solver": "dpmsolver"}.get(solver_type, solver_type)
+        if mesh is not None and not jit:
+            raise ValueError(
+                "mesh= implies a pjit-compiled sampler; jit=False is not "
+                "supported with a mesh (drop mesh= for eager execution)")
         if mesh is not None and method == "adaptive":
             raise ValueError(
                 "method='adaptive' does not take a mesh (per-chip step-size "
@@ -532,6 +536,11 @@ class DPM_Solver:
                 # (replaces the reference's mp.spawn/DDP sampling launcher)
                 from dpm_solver_tpu.parallel import make_sharded_sampler
 
+                if plan.has_noise and rng is None:
+                    # match the single-device path's validation instead of
+                    # falling through to make_sharded_sampler's PRNGKey(0)
+                    # default (a silent deterministic-noise trap)
+                    raise ValueError("SDE plan requires an rng key")
                 raw_fn = fn
                 # donate_x=False: callers own x_T in this reference-shaped
                 # API and may reuse it (e.g. to compare solver settings)

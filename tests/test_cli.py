@@ -191,3 +191,18 @@ def test_cli_superres_base_samples(tmp_path):
     with _pytest.raises(SystemExit):
         main(["sample", "--config", "tiny_superres", "--batch", "8",
               "--base-samples", npz, "--outdir", out])
+
+
+def test_cli_devices_validation(tmp_path):
+    """--devices larger than the visible device count (or not dividing
+    --batch) fails with a clear SystemExit, not an opaque reshape error
+    inside make_mesh (ADVICE r4)."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "out")
+    with _pytest.raises(SystemExit, match="visible"):
+        main(["sample", "--config", "tiny_test", "--batch", "64",
+              "--devices", "64", "--outdir", out])
+    with _pytest.raises(SystemExit, match="divisible"):
+        main(["sample", "--config", "tiny_test", "--batch", "3",
+              "--devices", "2", "--outdir", out])

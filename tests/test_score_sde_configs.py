@@ -52,9 +52,33 @@ EXPECTED = [
     "score_sde_church_vp_ddpm",
     "score_sde_bedroom_vp_ddpm",
     "score_sde_celebahq_vp_ddpm",
-    # configs/ve/ncsn/cifar10.py
+    # configs/ve/ncsn/{cifar10,celeba}*.py (base + improved-technique
+    # ablations 124/1245/5)
     "score_sde_cifar10_ve_ncsn",
+    "score_sde_cifar10_ve_ncsn_124",
+    "score_sde_cifar10_ve_ncsn_1245",
+    "score_sde_cifar10_ve_ncsn_5",
+    "score_sde_celeba64_ve_ncsn",
+    "score_sde_celeba64_ve_ncsn_124",
+    "score_sde_celeba64_ve_ncsn_1245",
+    "score_sde_celeba64_ve_ncsn_5",
+    # configs/vp/ddpm/cifar10_unconditional.py
+    "score_sde_cifar10_vp_ddpm_unconditional",
 ]
+
+
+def test_registry_count_matches_reference_file_list():
+    """One registry entry per reference per-experiment config file: 39
+    files under score_sde_jax/configs/{vp,subvp,ve}/** (excluding the
+    default_* bases and __init__)."""
+    assert len(EXPECTED) == 39
+    ref = "/root/reference/examples/score_sde_jax/configs"
+    if os.path.isdir(ref):
+        n_files = sum(
+            1 for root, _, files in os.walk(ref) for f in files
+            if f.endswith(".py") and not f.startswith("default")
+            and f != "__init__.py")
+        assert n_files == len(EXPECTED)
 
 
 def test_matrix_registered_and_instantiable():
@@ -132,6 +156,37 @@ def test_reference_field_values():
     # ve/ncsn/cifar10.py: snr 0.316, 100 Langevin steps per sigma
     assert c.sampling.snr == 0.316 and c.sampling.n_steps_each == 100
 
+    # improved-technique ablations (ve/ncsn/*_{124,1245,5}.py): _124 keeps
+    # ema_rate 0 with the 232/500-scale ladder back to the dataset-default
+    # sigma_max and ALD 5 steps; _1245 adds EMA .999; _5 is EMA alone on
+    # the original recipe
+    c = get_config("score_sde_cifar10_ve_ncsn_124")
+    m = c.model_config
+    assert m.conditional_norm and m.num_scales == 232 and m.sigma_max == 50.0
+    assert c.training.ema_rate == 0.0
+    assert c.sampling.snr == 0.176 and c.sampling.n_steps_each == 5
+    c = get_config("score_sde_cifar10_ve_ncsn_1245")
+    assert c.training.ema_rate == 0.999 and c.training.num_scales == 232
+    c = get_config("score_sde_cifar10_ve_ncsn_5")
+    assert c.training.ema_rate == 0.999
+    assert c.model_config.num_scales == 10 and c.model_config.sigma_max == 1.0
+    assert c.sampling.n_steps_each == 100 and c.sampling.snr == 0.316
+    c = get_config("score_sde_celeba64_ve_ncsn_124")
+    m = c.model_config
+    assert m.num_scales == 500 and m.sigma_max == 90.0 and m.image_size == 64
+    assert c.sampling.snr == 0.128 and c.training.ema_rate == 0.0
+    c = get_config("score_sde_celeba64_ve_ncsn_1245")
+    assert c.training.ema_rate == 0.999 and c.training.num_scales == 500
+    c = get_config("score_sde_celeba64_ve_ncsn")
+    assert c.model_config.num_scales == 10 and c.training.ema_rate == 0.0
+    assert c.sampling.n_steps_each == 100
+
+    # vp/ddpm/cifar10_unconditional.py: conditional=False, ancestral PC
+    c = get_config("score_sde_cifar10_vp_ddpm_unconditional")
+    assert not c.model_config.conditional
+    assert c.sampling.predictor == "ancestral_sampling"
+    assert not c.training.continuous and c.training.reduce_mean
+
     # discrete VE NCSN++ is POSITIONAL (ve/cifar10_ncsnpp.py), unlike the
     # continuous fourier twin
     c = get_config("score_sde_cifar10_ve_ncsnpp")
@@ -181,6 +236,28 @@ def test_ncsnv2_family_builds_and_runs():
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
     out = model.apply(params, x, jnp.array([0, 5], jnp.int32))
     assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_unconditional_ddpm_drops_time_embedding():
+    """conditional=False builds a net with no temb params whose output is
+    invariant to t (ref score_sde_jax/models/ddpm.py:64-71 temb=None)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dpm_solver_tpu.models import DDPMUNet, DDPMUNetConfig
+
+    cfg = dataclasses.replace(DDPMUNetConfig.tiny(), conditional=False)
+    model = DDPMUNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(1), x, jnp.zeros((2,)))
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = ["/".join(str(k) for k in path) for path, _ in flat]
+    assert not any("temb" in n for n in names)
+    a = model.apply(params, x, jnp.zeros((2,)))
+    b = model.apply(params, x, jnp.full((2,), 500.0))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_cli_ve_pc_sampling(tmp_path):

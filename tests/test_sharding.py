@@ -131,3 +131,18 @@ def test_dpm_solver_sample_mesh_kwarg(tiny_setup):
     with pytest.raises(ValueError, match="adaptive"):
         DPM_Solver(model_fn, ns).sample(jnp.asarray(x_T), method="adaptive",
                                         mesh=mesh)
+
+    # mesh implies a pjit-compiled sampler: jit=False is an error, not a
+    # silent ignore (ADVICE r4)
+    with pytest.raises(ValueError, match="jit"):
+        DPM_Solver(model_fn, ns).sample(jnp.asarray(x_T), steps=6, order=2,
+                                        method="multistep", mesh=mesh,
+                                        jit=False)
+
+    # an SDE plan without an rng must raise on the mesh path too, instead
+    # of silently sampling with make_sharded_sampler's PRNGKey(0) default
+    # (ADVICE r4)
+    with pytest.raises(ValueError, match="rng"):
+        DPM_Solver(model_fn, ns, algorithm_type="sde-dpmsolver++").sample(
+            jnp.asarray(x_T), steps=6, order=2, method="multistep",
+            mesh=mesh)
