@@ -68,6 +68,9 @@ def main():
                         "stay fp32 (GroupNorm32 upcasts scale/bias). Ships "
                         "with a full-trajectory quality gate vs fp32 "
                         "weights, like --quant.")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture an XProf trace of one warm pipe "
+                        "execution (parse with benchmarks/trace_summary.py)")
     p.add_argument("--baseline-xla", action="store_true",
                    help="compile the per-step baseline with ALL Pallas "
                         "dispatch forced to XLA — the faithful stand-in "
@@ -166,6 +169,15 @@ def main():
     sync(pipe(x_T))
     print(f"# compile+warm: {time.perf_counter()-t0:.0f}s", file=sys.stderr,
           flush=True)
+    if args.trace_dir:
+        # XProf capture of ONE warm pipe execution (compile/warm above is
+        # outside the capture). Summarize with benchmarks/trace_summary.py
+        # — the measurement results_roofline_v5e.json's analytic
+        # structural_roundtrips table is reconciled against.
+        with jax.profiler.trace(args.trace_dir):
+            sync(pipe(x_T))
+        print(f"# trace written to {args.trace_dir}", file=sys.stderr,
+              flush=True)
     t0 = time.perf_counter()
     out = None
     for _ in range(args.reps):

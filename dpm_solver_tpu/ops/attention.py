@@ -366,6 +366,240 @@ def _forward(q, k, v, scale, block_q, interpret,
 _BLOCK_K = 1024
 
 
+# --------------------------------------------------------------------------- #
+# transposed-product streaming kernel (the dh=64 MXU half-fill attack)
+#
+# At dh=64 both attention matmuls under-fill the 128x128 MXU: QK^T
+# contracts over dh (64 of 128 sublanes) and P@V emits dh output lanes
+# (64 of 128) — BASELINE.md's roofline halves the attention ceiling to
+# ~98 TF/s for it. The two are NOT symmetric:
+#
+#   QK^T is structurally stuck: its contraction IS dh. Packing two heads
+#   block-diagonally ([K0 0; 0 K1], 128-deep) fills the sublanes but
+#   computes 2x the raw MACs for 2x the useful work — 50% useful fill
+#   again; any single MXU contraction yielding two independent per-head
+#   products needs those zero blocks.
+#
+#   P@V is fixable by computing the product TRANSPOSED: keep the whole
+#   inner loop in logits^T space — logits^T = K (bk, dh) @ Q^T (dh, bq)
+#   (same half-depth contraction as before, just n<->m swapped), softmax
+#   per COLUMN, then acc^T = V^T (dh, bk) @ P^T (bk, bq): contraction bk
+#   fills all 128 sublanes and bq fills all 128 lanes — dh=64 moves to
+#   the streaming m-dim where it costs pipeline fill, not array fill.
+#   The ones-row trick rides along (row dh of V^T = 1 -> acc^T row dh is
+#   the softmax denominator on an idle stream slot).
+#
+# q/v/o travel transposed ((BH, dh, T) panels, one XLA transpose each
+# outside the kernel — ~0.35 ms total at the 9216-token SD site vs the
+# multi-ms matmul saving if the fill materializes); k keeps its natural
+# layout. Measured verdict lives in results_dh64_fill_v5e.json and the
+# `_FLASH_T_WINS` gate below.
+# --------------------------------------------------------------------------- #
+
+
+def _flash_kernel_T(qt_ref, k_ref, vt_ref, o_ref, *rest,
+                    s_real: int, block_k: int, nk: int, dh: int,
+                    softmax_bf16: bool = False):
+    """One (query-block, key-block) step in transposed space. qt arrives
+    pre-scaled by scale*log2e (base-2 softmax, see _LOG2E). vt carries a
+    ones row at index dh (the rowsum-on-MXU denominator, transposed).
+    Scratch: m (8, bq) running column max (row 0 live); acc (dh+1, bq)."""
+    if len(rest) == 3:
+        lse_ref, m_ref, acc_ref = rest
+    else:
+        m_ref, acc_ref = rest
+        lse_ref = None
+    kidx = pl.program_id(2)
+
+    @pl.when(kidx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # logits^T: (bk, bq) = K (bk, dh) @ Q^T (dh, bq) — contraction dh
+    logits = jax.lax.dot_general(
+        k_ref[0], qt_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if s_real % block_k:  # padded tail keys are ROWS here
+        base = kidx * block_k
+        ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + base
+        logits = jnp.where(ids < s_real, logits, -jnp.inf)
+
+    m_prev = m_ref[:1]
+    m_cur = jnp.max(logits, axis=0, keepdims=True)     # (1, bq)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    if softmax_bf16:
+        p = jnp.exp2((logits - m_new).astype(vt_ref.dtype))
+    else:
+        p = jnp.exp2(logits - m_new)
+    # acc^T: (dh+1, bq) += V^T (dh+1, bk) @ P^T (bk, bq) — contraction bk
+    # on the sublanes (full), bq on the lanes (full): the full-fill matmul
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:1] = m_new
+
+    @pl.when(kidx == nk - 1)
+    def _finish():
+        l = acc_ref[dh:dh + 1]                          # ones-row denominator
+        o_ref[0] = (acc_ref[:dh] / l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0] = m_ref[:1] + jnp.log2(l)
+
+
+def _flash_forward_T(q, k, v, scale, block_q, block_k, interpret,
+                     with_lse=False, softmax_bf16=False):
+    """Transposed-product streaming forward: q/k/v and the output keep the
+    normal (BH, T/S, D) layout at the boundary; q/v/o are transposed
+    around the kernel (one fused XLA transpose each)."""
+    bh, t, d = q.shape
+    s = k.shape[1]
+    q = (q * (scale * _LOG2E)).astype(q.dtype)
+    t_pad = -t % block_q
+    s_pad = -s % block_k
+    if t_pad:
+        q = jnp.pad(q, ((0, 0), (0, t_pad), (0, 0)))
+    v = jnp.concatenate([v, jnp.ones((bh, s, 1), v.dtype)], axis=-1)
+    if s_pad:
+        k = jnp.pad(k, ((0, 0), (0, s_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, s_pad), (0, 0)))
+    tq, ts = t + t_pad, s + s_pad
+    nk = ts // block_k
+    qt = jnp.swapaxes(q, 1, 2)                      # (BH, dh, Tq)
+    vt = jnp.swapaxes(v, 1, 2)                      # (BH, dh+1, Ts)
+
+    spec_qt = pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i),
+                           memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                          memory_space=pltpu.VMEM)
+    spec_vt = pl.BlockSpec((1, d + 1, block_k), lambda b, i, j: (b, 0, j),
+                           memory_space=pltpu.VMEM)
+    spec_ot = pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i),
+                           memory_space=pltpu.VMEM)
+    out_specs = spec_ot
+    out_shape = jax.ShapeDtypeStruct((bh, d, tq), q.dtype)
+    if with_lse:
+        out_specs = [spec_ot,
+                     pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((bh, 1, tq), jnp.float32)]
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_T, s_real=s, block_k=block_k,
+                          nk=nk, dh=d, softmax_bf16=softmax_bf16),
+        grid=(bh, tq // block_q, nk),
+        in_specs=[spec_qt, spec_k, spec_vt],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((8, block_q), jnp.float32),
+                        pltpu.VMEM((d + 1, block_q), jnp.float32)],
+        interpret=interpret,
+    )(qt, k, vt)
+    if with_lse:
+        ot, lse = out
+        return jnp.swapaxes(ot, 1, 2)[:, :t], lse[:, 0, :t]
+    return jnp.swapaxes(out, 1, 2)[:, :t]
+
+
+def _panel_kernel_T(qt_ref, k_ref, vt_ref, o_ref, *, t_real: int, dh: int):
+    """Full-panel transposed-product tile: whole (S, dh) key panel and
+    (dh+1, S) v^T panel in VMEM, logits^T (S, bq) single-pass softmax per
+    column, then the full-fill acc^T = V^T P^T contraction (see
+    _flash_kernel_T). qt arrives pre-scaled by scale*log2e."""
+    qt = qt_ref[0]                                   # (dh, bq)
+    k = k_ref[0]                                     # (S_pad, dh)
+    logits = jax.lax.dot_general(
+        k, qt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (S_pad, bq)
+    s_pad = k.shape[0]
+    if s_pad != t_real:                              # padded keys are rows
+        ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+        logits = jnp.where(ids < t_real, logits, -jnp.inf)
+    m = jnp.max(logits, axis=0, keepdims=True)       # (1, bq)
+    p = jnp.exp2(logits - m)
+    acc = jax.lax.dot_general(
+        vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (dh+1, bq)
+    o_ref[0] = (acc[:dh] / acc[dh:dh + 1]).astype(o_ref.dtype)
+
+
+def _panel_forward_T(q, k, v, scale, block_q, interpret):
+    """Full-panel transposed forward (no lse variant — the grad path uses
+    the streamed-T or normal-panel forward)."""
+    bh, t, d = q.shape
+    s = k.shape[1]
+    q = (q * (scale * _LOG2E)).astype(q.dtype)
+    t_pad = -t % block_q
+    s_pad = -s % 128
+    if t_pad:
+        q = jnp.pad(q, ((0, 0), (0, t_pad), (0, 0)))
+    v = jnp.concatenate([v, jnp.ones((bh, s, 1), v.dtype)], axis=-1)
+    if s_pad:
+        k = jnp.pad(k, ((0, 0), (0, s_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, s_pad), (0, 0)))
+    tq, ts = t + t_pad, s + s_pad
+    qt = jnp.swapaxes(q, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    out = pl.pallas_call(
+        functools.partial(_panel_kernel_T, t_real=s, dh=d),
+        grid=(bh, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d + 1, ts), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, d, tq), q.dtype),
+        interpret=interpret,
+    )(qt, k, vt)
+    return jnp.swapaxes(out, 1, 2)[:, :t]
+
+
+def panel_t_block_q(t: int, s: Optional[int] = None) -> int:
+    """Query tile for the transposed full-panel kernel: bq is the LANE dim
+    of both the (S, bq) logits tile and the (dh+1, bq) output contraction,
+    so prefer the largest divisor-friendly tile whose f32 logits panel
+    fits scoped VMEM (same budget discipline as panel_block_q)."""
+    s = t if s is None else s
+    s_pad = s + (-s % 128)
+    for bq in (1024, 768, 512, 384, 256):
+        if t % bq == 0 and 4 * bq * s_pad <= 8_000_000:
+            return bq
+    return 256 if t >= 2048 else _BLOCK_Q
+
+
+def _flash_t_vmem_est(bq: int, bk: int, d: int) -> int:
+    """Scoped-VMEM bytes for one transposed-flash program: double-buffered
+    qt/k/vt/o blocks (bf16) + f32 m/acc scratch + the f32 logits tile."""
+    blocks = 2 * (d * bq * 2 + bk * d * 2 + (d + 1) * bk * 2 + d * bq * 2)
+    scratch = 8 * bq * 4 + (d + 1) * bq * 4
+    return blocks + scratch + 4 * bq * bk + 2 * bq * bk  # logits + p
+
+
+def flash_t_block_q(t: int, d: int = 64) -> int:
+    """Query tile for the transposed kernel (lanes = bq: keep >= 512 so
+    the P^T matmul's lane tiles stay wide; VMEM-capped like flash).
+    v5e sweep at (40, 9216, 64) (results_dh64_fill_v5e.json): 1024 -> 93.1
+    TF/s, 512 -> 81.9."""
+    bq = 1024 if t >= 3072 else (512 if t >= 1024 else 256)
+    while bq > 256 and _flash_t_vmem_est(bq, flash_t_block_k(t),
+                                         d) > 12_000_000:
+        bq //= 2
+    return bq
+
+
+def flash_t_block_k(s: int) -> int:
+    """Key block for the transposed kernel: deeper blocks lengthen the
+    full-fill P^T contraction — 1536 measured 96.7 TF/s vs 1024's 93.1 at
+    S=9216 (results_dh64_fill_v5e.json); only exact divisors upgrade."""
+    return 1536 if s >= 8192 and s % 1536 == 0 else _BLOCK_K
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
                   s_real: int, block_k: int, nk: int,
                   d_out: Optional[int] = None,
@@ -536,6 +770,71 @@ def _flash_bwd(scale, block_q, block_k, interpret, mxu_rowsum, softmax_bf16,
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def flash_attention_t(q, k, v, scale: Optional[float] = None,
+                      block_q: int = 512, block_k: int = _BLOCK_K,
+                      interpret: bool = False, softmax_bf16: bool = False):
+    """softmax(q k^T * scale) v computed in TRANSPOSED product space (see
+    _flash_kernel_T): same (BH, T, D) boundary layout and numerics as
+    flash_attention, different MXU fill — the P@V contraction runs 128
+    sublanes x 128 lanes full at dh=64 instead of half-lanes. Backward is
+    the same recompute-free pair as flash_attention (residuals are saved
+    in normal layout)."""
+    d = q.shape[-1]
+    eff = (d ** -0.5) if scale is None else scale
+    return _flash_forward_T(q, k, v, eff, block_q, block_k, interpret,
+                            softmax_bf16=softmax_bf16)
+
+
+def _flash_t_fwd(q, k, v, scale, block_q, block_k, interpret, softmax_bf16):
+    eff = (q.shape[-1] ** -0.5) if scale is None else scale
+    o, lse = _flash_forward_T(q, k, v, eff, block_q, block_k, interpret,
+                              with_lse=True, softmax_bf16=softmax_bf16)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_t_bwd(scale, block_q, block_k, interpret, softmax_bf16, res, g):
+    q, k, v, o, lse = res
+    eff = (q.shape[-1] ** -0.5) if scale is None else scale
+    return _mha_backward(q, k, v, o, lse, g, eff, max(block_q, _BLOCK_Q),
+                         min(block_k, 512), interpret)
+
+
+flash_attention_t.defvjp(_flash_t_fwd, _flash_t_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_attention_t(q, k, v, scale: Optional[float] = None,
+                      block_q: int = _BLOCK_Q, interpret: bool = False):
+    """Full-panel attention computed in transposed product space (see
+    _panel_kernel_T): fused_attention's VMEM-resident-logits regime with
+    the P@V contraction at full MXU fill for dh < 128. Backward = the
+    recompute-free flash pair fed by an _lse side pass (fused_attention's
+    own scheme)."""
+    d = q.shape[-1]
+    eff = (d ** -0.5) if scale is None else scale
+    return _panel_forward_T(q, k, v, eff, block_q, interpret)
+
+
+def _fused_t_fwd(q, k, v, scale, block_q, interpret):
+    eff = (q.shape[-1] ** -0.5) if scale is None else scale
+    o = _panel_forward_T(q, k, v, eff, block_q, interpret)
+    lse = _lse(q, k, eff, max(block_q, _BLOCK_Q), interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _fused_t_bwd(scale, block_q, interpret, res, g):
+    q, k, v, o, lse = res
+    eff = (q.shape[-1] ** -0.5) if scale is None else scale
+    s = k.shape[1]
+    block_k = min(_BLOCK_K, s + (-s % _BLOCK_Q))
+    return _mha_backward(q, k, v, o, lse, g, eff, max(block_q, _BLOCK_Q),
+                         block_k, interpret)
+
+
+fused_attention_t.defvjp(_fused_t_fwd, _fused_t_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
@@ -902,12 +1201,28 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
         # dim is unmeasured at e.g. dh=40/80; numerics are parity-tested
         # either way, so the gate is perf-only — ADVICE.md r3).
         # softmax_bf16 measured 0.94-0.99x there: dead, stays off.
+        # dh <= 64 self-attention runs the TRANSPOSED-product kernels
+        # (acc^T = V^T P^T: full MXU fill where the normal orientation
+        # idles half the output lanes — _flash_kernel_T header). Measured
+        # chain-timed, results_dh64_fill_v5e.json: streamed-T 8.99 vs
+        # 11.98 ms (1.33x) at the (40, 9216, 64) SD 96px site; panel-T
+        # 1.81 vs 1.87 ms (1.035x) at (80, 2304, 64). Gated at the
+        # measured regime (dh <= 64, T == S), rowsum precedent.
         rowsum = dh <= 64
         if fits:
-            out = fused_attention(qh, kh, vh, scale, panel_block_q(t, s),
-                                  interpret, rowsum)
+            if dh <= 64 and t == s:
+                out = fused_attention_t(qh, kh, vh, scale,
+                                        panel_t_block_q(t, s), interpret)
+            else:
+                out = fused_attention(qh, kh, vh, scale, panel_block_q(t, s),
+                                      interpret, rowsum)
+        elif dh <= 64 and t == s:
+            out = flash_attention_t(qh, kh, vh, scale,
+                                    flash_t_block_q(t, dh),
+                                    flash_t_block_k(s), interpret)
         else:
-            # long-S regime (SD@768px: S=9216): streamed blocked-K kernel
+            # long-S regime, wide heads or cross-attention: streamed
+            # blocked-K kernel in normal orientation
             out = flash_attention(qh, kh, vh, scale, flash_block_q(t, dh),
                                   _BLOCK_K, interpret, rowsum)
     else:

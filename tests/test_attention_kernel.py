@@ -199,3 +199,98 @@ def test_flash_attention_grad_falls_back_to_xla():
                     argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,blocks", [
+    ((2, 300, 300, 64), (128, 128)),    # padded tail key block
+    ((1, 256, 2500, 64), (256, 1024)),  # long-S regime, uneven
+    ((1, 129, 1025, 64), (128, 512)),   # both dims padded
+    ((2, 512, 512, 40), (256, 256)),    # non-64 head dim
+])
+def test_flash_attention_t_matches_xla(shape, blocks):
+    """Transposed-product streaming kernel (_flash_kernel_T: logits^T
+    space, acc^T = V^T P^T full-fill matmul) is numerically exact vs the
+    reference composition across padding regimes."""
+    from dpm_solver_tpu.ops.attention import flash_attention_t
+
+    bh, t, s, d = shape
+    bq, bk = blocks
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(bh, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    want = attention_xla(q, k, v)
+    got = flash_attention_t(q, k, v, None, bq, bk, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-6)
+
+
+def test_flash_attention_t_grad_matches_flash():
+    """flash_attention_t's vjp (normal-layout residuals through
+    _mha_backward) matches flash_attention's and the XLA composition's."""
+    from dpm_solver_tpu.ops.attention import (flash_attention,
+                                              flash_attention_t)
+
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 256, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 300, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 300, 64).astype(np.float32))
+
+    def loss_t(q, k, v):
+        return jnp.sum(flash_attention_t(q, k, v, None, 128, 128, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_xla(q, k, v) ** 2)
+
+    def loss_f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, None, 128, 128, True) ** 2)
+
+    gt = jax.grad(loss_t, (0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    gf = jax.grad(loss_f, (0, 1, 2))(q, k, v)
+    for a, b in zip(gt, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    for a, b in zip(gt, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("shape,bq", [
+    ((2, 300, 300, 64), 128),     # padded keys (rows in logits^T)
+    ((1, 768, 768, 64), 256),
+    ((2, 512, 512, 40), 256),     # non-64 head dim
+    ((1, 129, 1025, 64), 128),    # cross-length, both padded
+])
+def test_fused_attention_t_matches_xla(shape, bq):
+    """Transposed full-panel kernel (_panel_kernel_T) is numerically exact
+    vs the reference composition across padding regimes."""
+    from dpm_solver_tpu.ops.attention import fused_attention_t
+
+    bh, t, s, d = shape
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(bh, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    want = attention_xla(q, k, v)
+    got = fused_attention_t(q, k, v, None, bq, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-6)
+
+
+def test_fused_attention_t_grad_matches_reference():
+    """fused_attention_t's vjp (lse side pass + flash backward) matches
+    the XLA composition's gradients."""
+    from dpm_solver_tpu.ops.attention import fused_attention_t
+
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 256, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 300, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 300, 64).astype(np.float32))
+
+    def loss_t(q, k, v):
+        return jnp.sum(fused_attention_t(q, k, v, None, 128, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_xla(q, k, v) ** 2)
+
+    gt = jax.grad(loss_t, (0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(gt, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
