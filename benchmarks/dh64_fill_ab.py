@@ -53,7 +53,11 @@ def main():
               "method": "chain-timed (20-iter in-program loop, 3 reps)",
               "sites": {}}
 
-    for site, (bh, t) in {"t9216": (40, 9216), "t2304": (80, 2304)}.items():
+    # t9216/t2304: the SD-2.1 768px self-attn sites (batch 4 x 2 CFG);
+    # t1024: the guided ADM-256 32px site (batch 8, 16 heads) — decides
+    # the panel-T gate's lower edge (token_attention s >= 2048 today)
+    for site, (bh, t) in {"t9216": (40, 9216), "t2304": (80, 2304),
+                          "t1024": (128, 1024)}.items():
         s, d = t, 64
         q = jnp.asarray(rs.randn(bh, t, d) * 0.1, jnp.bfloat16)
         k = jnp.asarray(rs.randn(bh, s, d) * 0.1, jnp.bfloat16)

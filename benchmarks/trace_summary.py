@@ -93,12 +93,19 @@ def device_op_table(planes):
     """{op_name: [total_ps, count]} over the XLA-op lines of TPU device
     planes (plane names '/device:TPU:N'; host/python planes skipped)."""
     table = defaultdict(lambda: [0, 0])
+    categories = {}
     plane_names = []
     for plane in planes:
         pname = _str(plane, 2)
         plane_names.append(pname)
         if "TPU" not in pname or "device:" not in pname.lower():
             continue
+        # stat metadata map (for hlo_category lookups)
+        stat_names = {}
+        for entry in _sub(plane, 5):
+            vm = _sub(entry, 2)
+            if vm:
+                stat_names[_int(entry, 1)] = _str(vm[0], 2)
         # event metadata map: entry {key=1 varint, value=2 XEventMetadata}
         meta = {}
         for entry in _sub(plane, 4):
@@ -106,9 +113,15 @@ def device_op_table(planes):
             if em:
                 name = _str(em[0], 4) or _str(em[0], 2)
                 meta[_int(entry, 1)] = name
+                for st in _sub(em[0], 5):  # metadata-level stats
+                    if stat_names.get(_int(st, 1)) == "hlo_category":
+                        categories[name] = _str(st, 5)
         for line in _sub(plane, 3):
             lname = _str(line, 11) or _str(line, 2)
-            if "step" in lname.lower():  # step lines duplicate op time
+            # ONLY the synchronous per-op line: 'XLA Modules' events are
+            # whole-program envelopes and 'Async XLA Ops' are DMA-queue
+            # copies that overlap compute — both double-count
+            if lname != "XLA Ops":
                 continue
             for ev in _sub(line, 4):
                 mid = _int(ev, 1)
@@ -117,7 +130,7 @@ def device_op_table(planes):
                 row = table[name]
                 row[0] += dur
                 row[1] += 1
-    return table, plane_names
+    return table, categories, plane_names
 
 
 def bucket(name):
@@ -145,15 +158,23 @@ def summarize(trace_dir, top=25):
         trace_dir, "**", "*.xplane.pb"), recursive=True))
     if not pbs:
         raise SystemExit(f"no *.xplane.pb under {trace_dir}")
-    table, plane_names = device_op_table(parse_xspace(pbs[-1]))
+    table, categories, plane_names = device_op_table(parse_xspace(pbs[-1]))
     if not table:
         raise SystemExit(f"no TPU device plane events; planes seen: "
                          f"{plane_names}")
+
+    def cat(name):
+        return categories.get(name) or bucket(name)
+
+    # while/conditional envelopes double-count their body ops (the body's
+    # events are separate entries on the same line)
+    table = {n: v for n, v in table.items()
+             if cat(n) not in ("while", "conditional")}
     rows = sorted(table.items(), key=lambda kv: -kv[1][0])
     total_ps = sum(v[0] for v in table.values())
     buckets = defaultdict(float)
     for name, (ps, _) in table.items():
-        buckets[bucket(name)] += ps / 1e9
+        buckets[cat(name)] += ps / 1e9
     out = {
         "metric": "xprof_device_op_summary",
         "xplane_pb": pbs[-1],
@@ -163,7 +184,7 @@ def summarize(trace_dir, top=25):
                                           key=lambda kv: -kv[1])},
         "top_ops": [
             {"op": name, "total_ms": round(ps / 1e9, 3), "count": cnt,
-             "bucket": bucket(name)}
+             "bucket": cat(name)}
             for name, (ps, cnt) in rows[:top]],
     }
     return out

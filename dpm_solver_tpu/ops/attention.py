@@ -1210,7 +1210,9 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
         # measured regime (dh <= 64, T == S), rowsum precedent.
         rowsum = dh <= 64
         if fits:
-            if dh <= 64 and t == s:
+            if dh <= 64 and t == s and s >= 2048:
+                # s >= 2048: the 2304-site win is the measured edge; the
+                # 1024-token ADM sites stay on the normal panel until A/B'd
                 out = fused_attention_t(qh, kh, vh, scale,
                                         panel_t_block_q(t, s), interpret)
             else:
