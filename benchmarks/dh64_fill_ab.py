@@ -102,6 +102,12 @@ def main():
             run("flash_t_bq1024_bk1536",
                 lambda qq, kk, vv: A.flash_attention_t(
                     qq, kk, vv, None, 1024, 1536))
+            run("flash_t_bq512_bk2304",
+                lambda qq, kk, vv: A.flash_attention_t(
+                    qq, kk, vv, None, 512, 2304))
+            run("flash_t_bq768_bk2304",
+                lambda qq, kk, vv: A.flash_attention_t(
+                    qq, kk, vv, None, 768, 2304))
         if A.panel_fits_vmem(s, d):
             # transposed FULL-PANEL kernel (single-pass softmax, K/V
             # loaded once per q block, full-fill P@V)
