@@ -3,15 +3,24 @@
 bench.py's headline times batch 64, but the reference's own canonical FID
 protocol runs batch 1000 across 2 GPUs (= 500/device;
 ddpm_and_guided-diffusion/configs/cifar10.yml:42-48 + sample.sh DEVICES).
-This sweep measures both arms at batches 64..512 in ONE session so the
-headline batch can be chosen from the reference's protocol rather than an
-arbitrary small batch — and so vs_baseline stays a same-batch, same-session
-A/B at every point.
+This sweep measures both arms at batches 64..512 so the headline batch is
+chosen from the reference's protocol rather than an arbitrary small one.
+
+EVERY (batch, arm) RUNS IN ITS OWN PROCESS, merging into
+results_cifar_batch_sweep_v5e.json. Two prior attempts established why:
+the reference arm's unrolled 10-eval program hits TPU INTERNAL backend
+errors at larger batches (b128 here, b500 on ImageNet64 — reproducible),
+and the error WEDGES the JAX client, so anything sharing the process
+afterwards fails too (the first sweep lost b256/b512 to it).
 
 Run on a TPU host: python benchmarks/cifar_batch_sweep.py
+(drives the per-arm subprocesses; or --batch N --arm ours|ref for one).
 """
 
+import argparse
 import json
+import os
+import subprocess
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -19,10 +28,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np
 
 BATCHES = (64, 128, 256, 512)
+RESULTS = __file__.rsplit("/", 1)[0] + "/results_cifar_batch_sweep_v5e.json"
 
 
-def main():
-    import jax
+def run_one(batch, arm):
     import jax.numpy as jnp
 
     import bench
@@ -40,48 +49,84 @@ def main():
     betas = np.linspace(1e-4, 0.02, 1000)
     ns = NoiseScheduleVP.discrete(betas=betas)
     raw_model = bench.build_model()
-    flops1 = bench.model_eval_flops(
-        raw_model, jnp.zeros((BATCHES[0], 32, 32, 3)))
+    x_T = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch, 32, 32, 3)), jnp.float32)
 
-    rows = {}
-    for b in BATCHES:
-        x_T = jnp.asarray(np.random.default_rng(0).standard_normal(
-            (b, 32, 32, 3)), jnp.float32)
-        # each arm is fenced: a tunnel drop mid-sweep keeps every batch
-        # already measured (the first attempt lost 3 completed timings)
-        try:
-            t_ours = bench.bench_ours(raw_model, ns, x_T)
-        except Exception as e:  # noqa: BLE001 — record and move on
-            rows[str(b)] = {"ours": f"FAILED: {type(e).__name__}"}
-            print(f"# b{b} ours FAILED: {e}", file=sys.stderr, flush=True)
-            continue
-        flops = bench.STEPS * flops1 * (b / BATCHES[0])
-        tfs = flops / t_ours / 1e12
-        rows[str(b)] = {
+    doc = {"metric": "cifar10_10nfe_batch_sweep", "rows": {}}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            doc = json.load(f)
+    row = doc["rows"].setdefault(str(batch), {})
+
+    if arm == "ours":
+        t_ours = bench.bench_ours(raw_model, ns, x_T)
+        flops1 = bench.model_eval_flops(
+            raw_model, jnp.zeros((batch, 32, 32, 3)))
+        tfs = bench.STEPS * flops1 / t_ours / 1e12
+        row.update({
             "ours_ms_batch": round(t_ours * 1e3, 1),
-            "ours_samples_s": round(b / t_ours, 1),
+            "ours_samples_s": round(batch / t_ours, 1),
             "tflops_s": round(tfs, 1),
             "mfu": round(tfs / 197, 4),
-        }
-        try:
-            t_ref = bench.bench_reference_jax(raw_model, betas, x_T)
-            rows[str(b)]["ref_samples_s"] = round(b / t_ref, 1)
-            rows[str(b)]["vs_ref"] = round(t_ref / t_ours, 3)
-        except Exception as e:  # noqa: BLE001
-            rows[str(b)]["ref"] = f"FAILED: {type(e).__name__}"
-        print(f"# b{b}: {rows[str(b)]}", file=sys.stderr, flush=True)
+        })
+    else:
+        t_ref = bench.bench_reference_jax(raw_model, betas, x_T)
+        row["ref_samples_s"] = round(batch / t_ref, 1)
+        if "ours_ms_batch" in row:
+            row["vs_ref"] = round(
+                t_ref * 1e3 / row["ours_ms_batch"], 3)
+    print(f"# b{batch} {arm}: {row}", file=sys.stderr, flush=True)
 
-    done = [k for k in rows if "ours_samples_s" in rows[k]]
-    if not done:
-        raise SystemExit("no batch completed")
-    best = max(done, key=lambda k: rows[k]["ours_samples_s"])
-    print(json.dumps({
-        "metric": "cifar10_10nfe_batch_sweep",
-        "value": rows[best]["ours_samples_s"],
-        "unit": "samples/s (best batch)",
-        "best_batch": int(best),
-        "rows": rows,
-    }))
+    done = [k for k, r in doc["rows"].items() if "ours_samples_s" in r]
+    if done:
+        best = max(done, key=lambda k: doc["rows"][k]["ours_samples_s"])
+        doc.update({"value": doc["rows"][best]["ours_samples_s"],
+                    "unit": "samples/s (best batch)",
+                    "best_batch": int(best)})
+    with open(RESULTS, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--arm", choices=("ours", "ref"), default=None)
+    args = p.parse_args()
+    if args.batch:
+        run_one(args.batch, args.arm or "ours")
+        return
+    # driver mode: one subprocess per (batch, arm) — INTERNAL-error
+    # isolation (see module docstring). Arms already recorded are kept
+    # (delete the results file for a fresh sweep).
+    have = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            have = json.load(f).get("rows", {})
+    for b in BATCHES:
+        for arm, key in (("ours", "ours_samples_s"), ("ref", "ref_samples_s")):
+            if key in have.get(str(b), {}) or \
+                    have.get(str(b), {}).get(f"{arm}_failed"):
+                continue
+            r = subprocess.run(
+                [sys.executable, __file__, "--batch", str(b), "--arm", arm],
+                timeout=1800)
+            if r.returncode:
+                print(f"# b{b} {arm}: FAILED rc={r.returncode} "
+                      "(recorded rows survive)", file=sys.stderr, flush=True)
+                doc = {"metric": "cifar10_10nfe_batch_sweep", "rows": {}}
+                if os.path.exists(RESULTS):
+                    with open(RESULTS) as f:
+                        doc = json.load(f)
+                doc["rows"].setdefault(str(b), {})[f"{arm}_failed"] = (
+                    f"rc={r.returncode} (reference arm INTERNAL errors at "
+                    "large batches are reproducible — see docstring)"
+                    if arm == "ref" else f"rc={r.returncode}")
+                with open(RESULTS, "w") as f:
+                    json.dump(doc, f, indent=1)
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            print(json.dumps(json.load(f)))
 
 
 if __name__ == "__main__":
