@@ -234,6 +234,62 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
 
 
+def _dq_kernel_T(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dqt_ref,
+                 acc_ref, *, scale: float, s_real, block_k: int, nk: int):
+    """dq with a TRANSPOSED (d, block_q) output: dq^T = K^T ds^T is
+    emitted as dot(k, ds) with contraction on the key block (full 128
+    sublanes) and bq on the lanes (full) — the normal orientation's
+    (bq, d) output idles half the lanes at d=64 (same fix as
+    _flash_kernel_T's P@V; see the transposed-product header)."""
+    kidx = pl.program_id(2)
+
+    @pl.when(kidx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    _, ds = _bwd_p_ds(q_ref[0], k_ref[0], v_ref[0], do_ref[0], lse_ref[0],
+                      delta_ref[0], s_real, kidx * block_k, block_k)
+    acc_ref[...] += jax.lax.dot_general(
+        k_ref[0], ds.astype(k_ref.dtype), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kidx == nk - 1)
+    def _finish():
+        dqt_ref[0] = (acc_ref[...] * scale).astype(dqt_ref.dtype)
+
+
+def _dkv_kernel_T(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                  dkt_ref, dvt_ref, dk_acc, dv_acc, *,
+                  s_real, block_k: int, nq: int):
+    """dk/dv with TRANSPOSED (d, block_k) outputs: dv^T = dO^T P as
+    dot(do, p) and dk^T = Q^T dS as dot(q, ds), both contracting the
+    query block on the sublanes (full) with the key block on the lanes
+    (full). Operand-order swap only — inputs keep their normal layout."""
+    qidx = pl.program_id(2)
+    kidx = pl.program_id(1)
+
+    @pl.when(qidx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]  # pre-scaled by scale*log2e; dk rescales by ln2 at finish
+    do = do_ref[0]
+    p, ds = _bwd_p_ds(q, k_ref[0], v_ref[0], do, lse_ref[0], delta_ref[0],
+                      s_real, kidx * block_k, block_k)
+    dv_acc[...] += jax.lax.dot_general(
+        do, p.astype(do.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_acc[...] += jax.lax.dot_general(
+        q, ds.astype(q.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(qidx == nq - 1)
+    def _finish():
+        dkt_ref[0] = (dk_acc[...] * _LN2).astype(dkt_ref.dtype)
+        dvt_ref[0] = dv_acc[...].astype(dvt_ref.dtype)
+
+
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc, *,
                 s_real, block_k: int, nq: int):
@@ -263,11 +319,17 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _mha_backward(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
+def _mha_backward(q, k, v, o, lse, g, scale, block_q, block_k, interpret,
+                  t_out: Optional[bool] = None):
     """Flash-style dq/dk/dv. q/o/g: (BH, T, D); k/v: (BH, S, D);
     lse: (BH, T) BASE-2 log-sum-exp over the REAL keys (padded keys were
-    masked at forward). q is re-scaled by scale*log2e here to match."""
+    masked at forward). q is re-scaled by scale*log2e here to match.
+    `t_out` selects the transposed-output kernels (full MXU fill for the
+    three output matmuls at d <= 64 — _dq_kernel_T header); None =
+    auto (d <= 64, the lane-underfill regime)."""
     bh, t, d = q.shape
+    if t_out is None:
+        t_out = d <= 64
     s = k.shape[1]
     q = (q * (scale * _LOG2E)).astype(q.dtype)
     t_pad = -t % block_q
@@ -292,16 +354,28 @@ def _mha_backward(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
                           memory_space=pltpu.VMEM)
     spec_row = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
                             memory_space=pltpu.VMEM)
+    if t_out:
+        dq_spec = pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i),
+                               memory_space=pltpu.VMEM)
+        dq_shape = jax.ShapeDtypeStruct((bh, d, tq), q.dtype)
+        dq_scratch = pltpu.VMEM((d, block_q), jnp.float32)
+        dq_body = _dq_kernel_T
+    else:
+        dq_spec, dq_shape = spec_t, jax.ShapeDtypeStruct((bh, tq, d), q.dtype)
+        dq_scratch = pltpu.VMEM((block_q, d), jnp.float32)
+        dq_body = _dq_kernel
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, s_real=s_real,
+        functools.partial(dq_body, scale=scale, s_real=s_real,
                           block_k=block_k, nk=nk),
         grid=(bh, nq, nk),
         in_specs=[spec_t, spec_s, spec_s, spec_t, spec_row, spec_row],
-        out_specs=spec_t,
-        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        out_specs=dq_spec,
+        out_shape=dq_shape,
+        scratch_shapes=[dq_scratch],
         interpret=interpret,
     )(qp, kp, vp, gp, lse_p, delta)
+    if t_out:
+        dq = jnp.swapaxes(dq, 1, 2)
 
     # dk/dv: swap the roles — keys on the outer grid dim, queries streamed
     spec_t2 = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
@@ -310,18 +384,33 @@ def _mha_backward(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
                            memory_space=pltpu.VMEM)
     spec_row2 = pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0),
                              memory_space=pltpu.VMEM)
+    if t_out:
+        kv_spec = pl.BlockSpec((1, d, block_k), lambda b, j, i: (b, 0, j),
+                               memory_space=pltpu.VMEM)
+        kv_shape = [jax.ShapeDtypeStruct((bh, d, ts), k.dtype),
+                    jax.ShapeDtypeStruct((bh, d, ts), v.dtype)]
+        kv_scratch = [pltpu.VMEM((d, block_k), jnp.float32),
+                      pltpu.VMEM((d, block_k), jnp.float32)]
+        kv_body = _dkv_kernel_T
+    else:
+        kv_spec = spec_s2
+        kv_shape = [jax.ShapeDtypeStruct((bh, ts, d), k.dtype),
+                    jax.ShapeDtypeStruct((bh, ts, d), v.dtype)]
+        kv_scratch = [pltpu.VMEM((block_k, d), jnp.float32),
+                      pltpu.VMEM((block_k, d), jnp.float32)]
+        kv_body = _dkv_kernel
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, s_real=s_real,
+        functools.partial(kv_body, s_real=s_real,
                           block_k=block_k, nq=nq),
         grid=(bh, nk, nq),
         in_specs=[spec_t2, spec_s2, spec_s2, spec_t2, spec_row2, spec_row2],
-        out_specs=[spec_s2, spec_s2],
-        out_shape=[jax.ShapeDtypeStruct((bh, ts, d), k.dtype),
-                   jax.ShapeDtypeStruct((bh, ts, d), v.dtype)],
-        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
-                        pltpu.VMEM((block_k, d), jnp.float32)],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=kv_shape,
+        scratch_shapes=kv_scratch,
         interpret=interpret,
     )(qp, kp, vp, gp, lse_p, delta)
+    if t_out:
+        dk, dv = jnp.swapaxes(dk, 1, 2), jnp.swapaxes(dv, 1, 2)
     return dq[:, :t], dk[:, :s], dv[:, :s]
 
 
