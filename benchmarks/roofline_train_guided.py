@@ -137,12 +137,12 @@ def train_part(args, forced_xla):
     measured = None
     if not args.cpu:
         fn = jax.jit(step, donate_argnums=(0,))
-        state = fn(state0, x0, rng)
-        float(jax.tree.leaves(state)[0].ravel()[0])  # device-side sync
+        state, metrics = fn(state0, x0, rng)
+        float(jax.tree.leaves(metrics)[0].ravel()[0])  # device-side sync
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            state = fn(state, x0, rng)
-        float(jax.tree.leaves(state)[0].ravel()[0])
+            state, metrics = fn(state, x0, rng)
+        float(jax.tree.leaves(metrics)[0].ravel()[0])
         measured = (time.perf_counter() - t0) / args.reps
 
     out = _roofline_fields(flops, bytes_vis, bytes_fx, measured)

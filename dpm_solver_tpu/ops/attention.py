@@ -1299,9 +1299,10 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
         # measured regime (dh <= 64, T == S), rowsum precedent.
         rowsum = dh <= 64
         if fits:
-            if dh <= 64 and t == s and s >= 2048:
-                # s >= 2048: the 2304-site win is the measured edge; the
-                # 1024-token ADM sites stay on the normal panel until A/B'd
+            if dh <= 64 and t == s:
+                # measured at every pallas-regime edge: 1.035x at 2304
+                # (bq768) and 1.13x at 1024 (bq1024, the guided-ADM 32px
+                # site: 0.823 vs 0.931 ms) — results_dh64_fill_v5e.json
                 out = fused_attention_t(qh, kh, vh, scale,
                                         panel_t_block_q(t, s), interpret)
             else:
