@@ -69,6 +69,9 @@ def run_one(batch, arm):
             "tflops_s": round(tfs, 1),
             "mfu": round(tfs / 197, 4),
         })
+        if "ref_samples_s" in row:  # keep the A/B ratio current
+            row["vs_ref"] = round(
+                (batch / row["ref_samples_s"]) / t_ours, 3)
     else:
         t_ref = bench.bench_reference_jax(raw_model, betas, x_T)
         row["ref_samples_s"] = round(batch / t_ref, 1)
@@ -108,20 +111,24 @@ def main():
             if key in have.get(str(b), {}) or \
                     have.get(str(b), {}).get(f"{arm}_failed"):
                 continue
-            r = subprocess.run(
-                [sys.executable, __file__, "--batch", str(b), "--arm", arm],
-                timeout=1800)
-            if r.returncode:
-                print(f"# b{b} {arm}: FAILED rc={r.returncode} "
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__, "--batch", str(b),
+                     "--arm", arm], timeout=1800)
+                rc = r.returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout-1800s"
+            if rc:
+                print(f"# b{b} {arm}: FAILED rc={rc} "
                       "(recorded rows survive)", file=sys.stderr, flush=True)
                 doc = {"metric": "cifar10_10nfe_batch_sweep", "rows": {}}
                 if os.path.exists(RESULTS):
                     with open(RESULTS) as f:
                         doc = json.load(f)
                 doc["rows"].setdefault(str(b), {})[f"{arm}_failed"] = (
-                    f"rc={r.returncode} (reference arm INTERNAL errors at "
+                    f"rc={rc} (reference arm INTERNAL errors at "
                     "large batches are reproducible — see docstring)"
-                    if arm == "ref" else f"rc={r.returncode}")
+                    if arm == "ref" else f"rc={rc}")
                 with open(RESULTS, "w") as f:
                     json.dump(doc, f, indent=1)
     if os.path.exists(RESULTS):

@@ -208,9 +208,13 @@ def main():
                         + (", same session" if args.arm == "both" else ""),
             "baseline_ms_per_batch": round(dt_ref * 1e3, 1),
         })
-    # headline = the canonical batch-500 ours row (imagenet64.yml:42)
-    head = doc["rows"].get("500", row)
-    doc.update({"value": head.get("samples_per_sec"), "batch": 500,
+    # headline = the canonical batch-500 ours row (imagenet64.yml:42);
+    # if batch 500 has not been measured, the headline labels the batch
+    # it actually comes from
+    head_batch = "500" if "500" in doc["rows"] else str(args.batch)
+    head = doc["rows"].get(head_batch, row)
+    doc.update({"value": head.get("samples_per_sec"),
+                "batch": int(head_batch),
                 "vs_baseline": next(
                     (r["vs_baseline"] for r in doc["rows"].values()
                      if r.get("vs_baseline")), None)})

@@ -447,7 +447,7 @@ def _register_score_sde_matrix():
                       model_preset="ddpm", continuous=True,
                       family="ddpm_unet", **C)
     # CIFAR-10: ve (ref configs/ve/cifar10_*.py)
-    VE = dict(corrector="langevin", snr=0.16)
+    VE = dict(corrector="langevin", snr=0.16, ema_rate=0.999)
     _score_sde_config("score_sde_cifar10_ve_ddpm", sde="ve",
                       model_preset="ddpm", continuous=False,
                       family="ddpm_unet", **VE, **CU)
@@ -465,7 +465,7 @@ def _register_score_sde_matrix():
                       model_preset="ncsnpp_celeba64", continuous=False,
                       dataset="celeba", image_size=64, centered=False,
                       sigma_max=90.0, eval_batch=500,
-                      corrector="langevin", snr=0.17)
+                      corrector="langevin", snr=0.17, ema_rate=0.999)
     for nm, ds, smax in (("celebahq256", "celebahq", 348.0),
                          ("ffhq256", "ffhq", 348.0),
                          ("church", "lsun_church", 380.0),
@@ -474,7 +474,8 @@ def _register_score_sde_matrix():
                           model_preset="ncsnpp_px256", continuous=True,
                           dataset=ds, image_size=256, centered=False,
                           batch_size=64, eval_batch=64, sigma_max=smax,
-                          num_scales=2000, corrector="langevin", snr=0.075)
+                          num_scales=2000, corrector="langevin", snr=0.075,
+                          ema_rate=0.999)
     for nm, ds in (("celebahq1024", "celebahq"), ("ffhq1024", "ffhq")):
         _score_sde_config(f"score_sde_{nm}_ve_ncsnpp_continuous", sde="ve",
                           model_preset="ncsnpp_px1024", continuous=True,
@@ -483,8 +484,8 @@ def _register_score_sde_matrix():
                           num_scales=2000, corrector="langevin", snr=0.15,
                           reduce_mean=(nm == "ffhq1024"))
     # LSUN/CelebAHQ 256px discrete DDPM (ref configs/vp/ddpm/{church,
-    # bedroom,celebahq}.py); the unconditional cifar10 variant (conditional
-    # False = no time embedding) has no published checkpoint and is skipped
+    # bedroom,celebahq}.py); the unconditional cifar10 variant is
+    # registered further down
     for nm, ds in (("church", "lsun_church"), ("bedroom", "lsun_bedroom"),
                    ("celebahq", "celebahq")):
         _score_sde_config(f"score_sde_{nm}_vp_ddpm", sde="vp",
@@ -542,13 +543,14 @@ def _register_score_sde_matrix():
     _score_sde_config("score_sde_cifar10_ve_ncsnv2", sde="ve",
                       model_preset="ncsnv2_cifar10", continuous=False,
                       family="ncsnv2", num_scales=232, predictor="none",
-                      corrector="ald", snr=0.176, n_steps_each=5, **CU)
+                      corrector="ald", snr=0.176, n_steps_each=5,
+                      ema_rate=0.999, **CU)
     _score_sde_config("score_sde_celeba64_ve_ncsnv2", sde="ve",
                       model_preset="ncsnv2_celeba", continuous=False,
                       family="ncsnv2", dataset="celeba", image_size=64,
                       centered=False, sigma_max=90.0, num_scales=500,
                       predictor="none", corrector="ald", snr=0.128,
-                      n_steps_each=5)
+                      n_steps_each=5, ema_rate=0.999)
     _score_sde_config("score_sde_bedroom_ve_ncsnv2", sde="ve",
                       model_preset="ncsnv2_bedroom", continuous=False,
                       family="ncsnv2", dataset="lsun_bedroom",

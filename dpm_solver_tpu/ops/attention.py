@@ -329,7 +329,7 @@ def _mha_backward(q, k, v, o, lse, g, scale, block_q, block_k, interpret,
     auto (d <= 64, the lane-underfill regime)."""
     bh, t, d = q.shape
     if t_out is None:
-        t_out = d <= 64
+        t_out = d == 64  # the hardware-measured regime (attn_bwd_ab)
     s = k.shape[1]
     q = (q * (scale * _LOG2E)).astype(q.dtype)
     t_pad = -t % block_q
@@ -1299,16 +1299,20 @@ def token_attention(q, k, v, *, num_heads: int, scale: Optional[float] = None,
         # measured regime (dh <= 64, T == S), rowsum precedent.
         rowsum = dh <= 64
         if fits:
-            if dh <= 64 and t == s:
+            if dh == 64 and t == s:
                 # measured at every pallas-regime edge: 1.035x at 2304
-                # (bq768) and 1.13x at 1024 (bq1024, the guided-ADM 32px
-                # site: 0.823 vs 0.931 ms) — results_dh64_fill_v5e.json
+                # (bq768, same-session pair) and 1.13x at 1024 (bq1024,
+                # the guided-ADM 32px site: 0.823 vs 0.931 ms) —
+                # results_dh64_fill_v5e.json. dh==64 exactly: the dh=40/48
+                # sites keep the previously-measured normal kernels until
+                # the T layout is hardware-A/B'd there (Mosaic has never
+                # compiled the (41, block) sublane panels either)
                 out = fused_attention_t(qh, kh, vh, scale,
                                         panel_t_block_q(t, s), interpret)
             else:
                 out = fused_attention(qh, kh, vh, scale, panel_block_q(t, s),
                                       interpret, rowsum)
-        elif dh <= 64 and t == s:
+        elif dh == 64 and t == s:
             out = flash_attention_t(qh, kh, vh, scale,
                                     flash_t_block_q(t, dh),
                                     flash_t_block_k(s), interpret)

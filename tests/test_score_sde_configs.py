@@ -401,3 +401,29 @@ def test_continuous_vp_sampler_uses_linear_schedule():
     seen.clear()
     solver.model_fn_raw(x, jax.numpy.full((2,), 0.5))
     assert seen and abs(float(np.asarray(seen[0])[0]) - 0.5 * 999.0) < 1e-3
+
+
+def test_ve_family_ema_rates_match_reference():
+    """The VE family trains with ema_rate 0.999 (ve/*.py:38-47) — NOT the
+    VP default 0.9999 — except the 1024px pair and ncsnv2/bedroom, which
+    the reference sets back to 0.9999; NCSN base/_124 run without EMA."""
+    for name in ("score_sde_cifar10_ve_ddpm", "score_sde_cifar10_ve_ncsnpp",
+                 "score_sde_cifar10_ve_ncsnpp_continuous",
+                 "score_sde_cifar10_ve_ncsnpp_deep_continuous",
+                 "score_sde_celeba64_ve_ncsnpp",
+                 "score_sde_celebahq256_ve_ncsnpp_continuous",
+                 "score_sde_ffhq256_ve_ncsnpp_continuous",
+                 "score_sde_church_ve_ncsnpp_continuous",
+                 "score_sde_bedroom_ve_ncsnpp_continuous",
+                 "score_sde_cifar10_ve_ncsnv2",
+                 "score_sde_celeba64_ve_ncsnv2"):
+        assert get_config(name).training.ema_rate == 0.999, name
+    for name in ("score_sde_celebahq1024_ve_ncsnpp_continuous",
+                 "score_sde_ffhq1024_ve_ncsnpp_continuous",
+                 "score_sde_bedroom_ve_ncsnv2",
+                 "score_sde_cifar10_vp_ddpmpp_continuous",
+                 "score_sde_cifar10_subvp_ddpmpp_continuous"):
+        assert get_config(name).training.ema_rate == 0.9999, name
+    for name in ("score_sde_cifar10_ve_ncsn", "score_sde_cifar10_ve_ncsn_124",
+                 "score_sde_celeba64_ve_ncsn_124"):
+        assert get_config(name).training.ema_rate == 0.0, name
