@@ -100,9 +100,13 @@ def train_part(args, forced_xla):
     from dpm_solver_tpu.training.train import (make_optimizer,
                                                make_train_state)
 
+    import dataclasses
+
     cfg = configs.get_config("score_sde_cifar10_ve_ncsnpp_continuous")
     tcfg = cfg.training
     mc = NCSNppConfig.tiny() if args.tiny else cfg.model_config
+    if args.remat:
+        mc = dataclasses.replace(mc, remat=True)
     side = mc.image_size if args.tiny else cfg.data.image_size
     sde = run_lib._make_sde(cfg)
 
@@ -150,6 +154,7 @@ def train_part(args, forced_xla):
     # weights: read p/m/v/ema/grads, write p/m/v/ema)
     opt_bytes = 9 * 4 * n_params
     out.update({
+        "remat": args.remat,
         "batch": args.train_batch,
         "params_m": round(n_params / 1e6, 1),
         "optimizer_traffic_floor_bytes": opt_bytes,
@@ -257,6 +262,10 @@ def main():
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="per-resblock jax.checkpoint arm (the step is "
+                        "HBM-bound; remat trades saved-activation bytes "
+                        "for recompute on the idle MXU)")
     args = p.parse_args()
 
     import jax
@@ -274,8 +283,9 @@ def main():
         report["guided_eval"] = guided_part(args, forced_xla)
 
     if not args.cpu:
+        suffix = "_remat" if args.remat else ""
         out = (__file__.rsplit("/", 1)[0]
-               + "/results_roofline_train_guided_v5e.json")
+               + f"/results_roofline_train_guided{suffix}_v5e.json")
         with open(out, "w") as f:
             json.dump(report, f, indent=1)
     print(json.dumps(report))

@@ -70,6 +70,12 @@ class NCSNppConfig:
     sigma_min: float = 0.01
     sigma_max: float = 50.0
     num_scales: int = 1000
+    # rematerialize each resblock in the backward pass. The train step is
+    # HBM-bound (results_roofline_train_guided_v5e.json: 62 ms bytes floor
+    # vs 40 ms MXU at batch 128), so trading saved-activation traffic for
+    # recompute on the idle MXU is the right direction; replaces torch's
+    # utils.checkpoint in the reference ADM trunk (unet.py:"use_checkpoint")
+    remat: bool = False
 
     def __post_init__(self):
         assert self.resblock_type in ("biggan", "ddpm")
@@ -310,11 +316,22 @@ class NCSNpp(nn.Module):
         res_at = [cfg.image_size // (2 ** i) for i in range(levels)]
 
         def resblock(name, out_ch=None, direction=None):
-            return ResBlockpp(
+            mod = ResBlockpp(
                 out_ch=out_ch, variant=cfg.resblock_type, direction=direction,
                 act_name=cfg.nonlinearity, dropout=cfg.dropout,
                 skip_rescale=cfg.skip_rescale, init_scale=cfg.init_scale,
                 fir=cfg.fir, fir_kernel=cfg.fir_kernel, dtype=dt, name=name)
+            if not cfg.remat:
+                return mod
+            # lifted jax.checkpoint around the block: only the block
+            # boundary is saved for the backward; internals recompute.
+            # `det` closes over as a static Python bool (nn.Dropout needs
+            # it concrete).
+            def rematted(h, temb, *, deterministic=True):
+                return nn.remat(
+                    lambda m, hh, tt: m(hh, tt, deterministic=deterministic)
+                )(mod, h, temb)
+            return rematted
 
         def attn(name):
             return SelfAttention2D(skip_rescale=cfg.skip_rescale,

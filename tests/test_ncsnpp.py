@@ -241,3 +241,43 @@ def test_bf16_compute_dtype_close_to_fp32():
     denom = np.abs(np.asarray(a)).mean() + 1e-6
     rel = np.abs(np.asarray(a) - np.asarray(b)).mean() / denom
     assert rel < 0.05, rel
+
+
+def test_remat_matches_plain_outputs_and_grads():
+    """config.remat=True (per-resblock jax.checkpoint) changes memory
+    behavior only: outputs and parameter gradients are identical to the
+    plain forward."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dpm_solver_tpu.models import NCSNpp, NCSNppConfig
+
+    cfg = NCSNppConfig.tiny()
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (2, cfg.image_size, cfg.image_size, 3))
+    t = jnp.asarray([0.3, 0.8])
+    plain = NCSNpp(config=cfg)
+    remat = NCSNpp(config=dataclasses.replace(cfg, remat=True))
+    params = plain.init(jax.random.PRNGKey(1), x, t, deterministic=True)
+
+    a = plain.apply(params, x, t, deterministic=True)
+    b = remat.apply(params, x, t, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(m):
+        return lambda p: jnp.sum(
+            m.apply(p, x, t, deterministic=True) ** 2)
+
+    ga = jax.grad(loss(plain))(params)
+    gb = jax.grad(loss(remat))(params)
+    for pa, pb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=1e-5, rtol=1e-5)
+
+    # dropout (non-deterministic) path also runs under remat
+    c = remat.apply(params, x, t, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(c)).all()
