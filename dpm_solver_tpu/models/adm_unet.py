@@ -65,6 +65,10 @@ class ADMConfig:
     context_dim: Optional[int] = None
     use_linear_in_transformer: bool = False  # SD-2.x variant
     legacy: bool = True
+    # Gradient checkpointing for training (the reference's
+    # use_checkpoint flag, unet.py:427-448 / openaimodel.py:443-468):
+    # res blocks and spatial transformers recompute in the backward
+    remat: bool = False
     # Serving-time int8 path (ops/quant.py): "w8a8" quantizes the
     # transformer stack, "w8a8_conv" additionally the 3x3 conv trunk;
     # param tree and checkpoints are unaffected either way.
@@ -476,11 +480,18 @@ class _ADMBase(nn.Module):
             return nn.Conv(spec["out_ch"], (3, 3), padding=((1, 1), (1, 1)),
                            dtype=dt, name=name)(h)
         if kind == "res":
-            return ADMResBlock(
+            mod = ADMResBlock(
                 out_ch=spec["out_ch"], direction=spec.get("direction"),
                 use_scale_shift_norm=cfg.use_scale_shift_norm,
-                dropout=cfg.dropout, dtype=dt, quant=cfg.quant, name=name)(
-                    h, emb, deterministic=deterministic)
+                dropout=cfg.dropout, dtype=dt, quant=cfg.quant, name=name)
+            if cfg.remat:
+                # lifted jax.checkpoint (the reference's use_checkpoint,
+                # unet.py:198); `deterministic` closes over statically
+                return nn.remat(
+                    lambda m, hh, ee: m(hh, ee,
+                                        deterministic=deterministic)
+                )(mod, h, emb)
+            return mod(h, emb, deterministic=deterministic)
         if kind == "attn":
             return ADMAttention(num_heads=spec["heads"],
                                 new_order=cfg.use_new_attention_order,
@@ -488,10 +499,14 @@ class _ADMBase(nn.Module):
         if kind == "xattn":
             from dpm_solver_tpu.models.transformer import SpatialTransformer
 
-            return SpatialTransformer(
+            mod = SpatialTransformer(
                 heads=spec["heads"], dim_head=spec["dim_head"],
                 depth=spec["depth"], linear_proj=spec.get("linear", False),
-                dtype=dt, quant=cfg.quant, name=name)(h, context=context)
+                dtype=dt, quant=cfg.quant, name=name)
+            if cfg.remat:
+                return nn.remat(
+                    lambda m, hh, ctx: m(hh, context=ctx))(mod, h, context)
+            return mod(h, context=context)
         if kind == "resample":
             return ADMResample(direction=spec["direction"],
                                out_ch=spec["out_ch"],

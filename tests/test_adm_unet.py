@@ -220,3 +220,42 @@ def test_new_config_registry_entries():
     assert get_config("imagenet512_guided").model_config.channel_mult[0] == 0.5
     assert get_config("lsun_bedroom").model_config.num_classes is None
     assert get_config("celeba64_ddpm").model_config.ch_mult == (1, 2, 2, 2, 4)
+
+
+def test_remat_matches_plain_outputs_and_grads():
+    """config.remat=True (the reference's use_checkpoint, unet.py:198)
+    only changes backward memory behavior: outputs and parameter grads
+    match the plain path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dpm_solver_tpu.models import ADMConfig, ADMUNet
+
+    cfg = ADMConfig(image_size=16, model_channels=32, num_res_blocks=1,
+                    channel_mult=(1, 2), attention_resolutions=(2,),
+                    num_heads=2, use_spatial_transformer=True,
+                    transformer_depth=1, context_dim=24, legacy=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    t = jnp.asarray([3.0, 7.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 24))
+    plain = ADMUNet(config=cfg)
+    remat = ADMUNet(config=dataclasses.replace(cfg, remat=True))
+    params = plain.init(jax.random.PRNGKey(2), x, t, None, ctx,
+                        deterministic=True)
+
+    a = plain.apply(params, x, t, None, ctx, deterministic=True)
+    b = remat.apply(params, x, t, None, ctx, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(m):
+        return lambda p: jnp.sum(
+            m.apply(p, x, t, None, ctx, deterministic=True) ** 2)
+
+    ga = jax.grad(loss(plain))(params)
+    gb = jax.grad(loss(remat))(params)
+    for pa, pb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=2e-5, rtol=2e-5)
