@@ -6,19 +6,27 @@ default lowering materializes the (T, T) logits in HBM between the two
 matmuls; this kernel keeps each query block's logits, softmax, and weighted
 sum entirely in VMEM — one HBM read of q/k/v and one write of the output.
 
-Two kernels share the dispatch (`token_attention`): the FULL-PANEL kernel
+Four kernels share the dispatch (`token_attention`): the FULL-PANEL kernel
 holds one (block_q, D) query tile plus the full (S, D) key/value panels and
 a (block_q, S) logits tile in VMEM (~7 MB at S=4096, D=160) with
 numerically exact single-pass softmax; beyond the VMEM budget the
 STREAMED (blocked-K flash) kernel takes over with running max/sum
-rescaling and O(block_q * block_k) VMEM — it carries SD-2.1@768px's
-9216-token self-attention at ~52 TF/s (1.9x the XLA lowering on v5e).
-Short sequences (S < 1024) measured faster on plain XLA and stay there.
+rescaling and O(block_q * block_k) VMEM. At dh <= 64 self-attention both
+are superseded by their TRANSPOSED-PRODUCT twins (_panel_kernel_T /
+_flash_kernel_T): the whole inner loop runs in logits^T space so the P@V
+contraction fills all 128x128 MXU cells where the normal orientation
+idles half the output lanes — 96.7 TF/s / 1.33x at SD-2.1@768px's
+9216-token site (results_dh64_fill_v5e.json; QK^T is provably stuck at
+half fill, see the transposed-product header below). Short sequences
+(S < 1024) measured faster on plain XLA and stay there.
 
 Differentiable: the backward is a recompute-free FlashAttention-2-style
 pair of Pallas kernels (dq streamed over key blocks; dk/dv streamed over
 query blocks) fed by the forward's saved output and per-row log-sum-exp —
-no (T, T) tensor and no forward recompute in the training path either.
+no (T, T) tensor and no forward recompute in the training path. At dh=64
+its three output matmuls are likewise emitted transposed (operand-order
+swap, full fill): 1.17-1.22x, 1.89x the XLA VJP
+(results_attn_bwd_ab_v5e.json).
 """
 
 from __future__ import annotations
