@@ -139,26 +139,38 @@ def model_eval_flops(raw_model, x_T):
         return 0.0
 
 
-def _device_health_check(timeout_s: int = 300) -> None:
+def _device_health_check(timeout_s: int = 300, attempts: int = 5,
+                         retry_sleep_s: int = 240) -> None:
     """The tunneled TPU's failure mode is a HANG on first device use (see
     CLAUDE.md), which would wedge this bench indefinitely. Probe a tiny
-    matmul in a subprocess with a hard timeout and exit(1) with a clear
-    message instead of hanging; prints nothing on the happy path."""
+    matmul in a subprocess with a hard timeout; prints nothing on the
+    happy path. The tunnel also DROPS transiently (round 4's driver
+    capture was lost to exactly that), so a failed probe is retried for
+    a bounded window (~20 min total) before giving up with exit(1)."""
     import subprocess
 
     src = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128));"
            " print('OK', float((x @ x).ravel()[0]))")
-    try:
-        r = subprocess.run([sys.executable, "-c", src], capture_output=True,
-                           text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        print("# bench aborted: device health probe hung "
-              f"({timeout_s}s) — tunnel down; retry later", file=sys.stderr)
-        raise SystemExit(1)
-    if r.returncode != 0 or "OK 128.0" not in r.stdout:
-        print("# bench aborted: device health probe failed:\n"
-              + (r.stdout + r.stderr)[-500:], file=sys.stderr)
-        raise SystemExit(1)
+    for attempt in range(1, attempts + 1):
+        why = ""
+        try:
+            r = subprocess.run([sys.executable, "-c", src],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if r.returncode == 0 and "OK 128.0" in r.stdout:
+                return
+            why = ("device health probe failed:\n"
+                   + (r.stdout + r.stderr)[-500:])
+        except subprocess.TimeoutExpired:
+            why = f"device health probe hung ({timeout_s}s) — tunnel down"
+        if attempt < attempts:
+            print(f"# health probe attempt {attempt}/{attempts}: {why}"
+                  f"\n# retrying in {retry_sleep_s}s", file=sys.stderr,
+                  flush=True)
+            time.sleep(retry_sleep_s)
+    print(f"# bench aborted after {attempts} probe attempts: {why}",
+          file=sys.stderr)
+    raise SystemExit(1)
 
 
 def main():
