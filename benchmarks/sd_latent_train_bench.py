@@ -1,0 +1,199 @@
+"""Full-size SD-2.1 latent fine-tuning on ONE v5e chip.
+
+The reference fine-tunes its 866M-param SD UNet on multi-GPU rigs (the
+stable-diffusion repo's main.py Lightning harness over
+`configs/stable-diffusion/*.yaml`); a single 16 GB chip cannot hold the
+fp32 Adam states for it (params + m + v + EMA = 4 x 3.46 GB = 13.9 GB
+before a single activation). This bench demonstrates the TPU-native
+recipe that DOES fit one v5e:
+
+  * adafactor (factored second moment, no first moment — the classic TPU
+    optimizer): optimizer state is ~KBs per matrix instead of 2 x P,
+  * per-block remat in the UNet (`ADMConfig.remat`, the reference's
+    use_checkpoint flag) so backward activations stay bounded,
+  * bf16 compute with fp32 master weights + fp32 in-step EMA
+    (the repo's standard mixed-precision convention),
+  * the whole step (fwd + bwd + adafactor + EMA) as ONE jitted program
+    with the state donated.
+
+Arms: adafactor x remat {on, off} at the requested batch. `--adam-probe`
+additionally COMPILE-CHECKS the fp32-Adam step to record its expected
+OOM (compile-time failure — safe, unlike runtime INTERNAL errors).
+
+The step trains over pre-encoded latents (encode_fn=None — the
+supported pre-encoded-dataset path of `make_latent_train_step`) with
+random 77x1024 OpenCLIP-shaped context: the frozen VAE/text towers are
+excluded from the measurement on purpose; the trainable cost IS the
+UNet. No same-silicon baseline exists (the reference cannot run this
+configuration on one 16 GB device at all), so the JSON reports ms/step,
+img/s and MFU rather than a vs_baseline ratio.
+
+Run on a TPU host:  python benchmarks/sd_latent_train_bench.py [--batch 4]
+Smoke (CI):         python benchmarks/sd_latent_train_bench.py --tiny --cpu
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+V5E_PEAK_BF16 = 197e12
+V5E_HBM_GB = 15.75
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="smoke-test shapes (CI); numbers meaningless")
+    p.add_argument("--adam-probe", action="store_true",
+                   help="also compile-check the fp32-Adam step to record "
+                        "the expected OOM")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from benchmarks._cache import enable_compile_cache
+    enable_compile_cache()
+    import jax.numpy as jnp
+    import optax
+
+    from dpm_solver_tpu.models.adm_unet import ADMConfig, ADMUNet
+    from dpm_solver_tpu.pipelines import make_ldm_betas
+    from dpm_solver_tpu.training.latent import make_latent_train_step
+    from dpm_solver_tpu.training.train import make_train_state
+
+    if args.tiny:
+        base_cfg = ADMConfig.tiny(in_channels=4, out_channels=4,
+                                  use_spatial_transformer=True,
+                                  transformer_depth=1, context_dim=64)
+        side, ctx_dim, ctx_len = base_cfg.image_size, 64, 7
+    else:
+        base_cfg = ADMConfig.sd_v2_1()
+        side, ctx_dim, ctx_len = 96, 1024, 77
+
+    betas = make_ldm_betas()
+    rng = jax.random.PRNGKey(0)
+    z0 = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (args.batch, side, side, 4)), jnp.float32)
+    context = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (args.batch, ctx_len, ctx_dim)), jnp.float32)
+
+    arms = {}
+    flops_per_step = None
+    n_params = None
+    for remat in (True, False):
+        cfg = dataclasses.replace(base_cfg, remat=remat)
+        model = ADMUNet(cfg, compute_dtype=jnp.bfloat16)
+        params = jax.jit(lambda r: model.init(
+            r, jnp.zeros((1, side, side, 4)), jnp.zeros((1,)),
+            context=jnp.zeros((1, ctx_len, ctx_dim))))(jax.random.PRNGKey(1))
+        if n_params is None:
+            n_params = sum(int(np.prod(a.shape))
+                           for a in jax.tree.leaves(params))
+            print(f"# params: {n_params/1e6:.1f}M "
+                  f"(fp32 {n_params*4/2**30:.2f} GiB; Adam+EMA would need "
+                  f"{n_params*16/2**30:.1f} GiB of states on "
+                  f"{V5E_HBM_GB} GiB HBM)", file=sys.stderr, flush=True)
+
+        def unet_apply(p, z_t, t_f, ctx, _model=model):
+            return _model.apply(p, z_t, t_f, context=ctx)
+
+        tx = optax.adafactor(learning_rate=1e-5)
+        step = make_latent_train_step(unet_apply, tx, betas,
+                                      parameterization="v")
+        state, _ = make_train_state(params, tx=tx)
+        del params
+        fn = jax.jit(step, donate_argnums=(0,))
+
+        if flops_per_step is None:
+            try:
+                c = fn.lower(state, None, z0, context, rng).compile()
+                ca = c.cost_analysis()
+                ca = ca[0] if isinstance(ca, list) else ca
+                flops_per_step = float(ca.get("flops", 0.0))
+            except Exception as e:  # noqa: BLE001
+                print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+                flops_per_step = 0.0
+
+        key = "adafactor_remat" if remat else "adafactor"
+        try:
+            state, metrics = fn(state, None, z0, context, rng)
+            float(jax.tree.leaves(metrics)[0].ravel()[0])  # warm + block
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                state, metrics = fn(state, None, z0, context, rng)
+            # device-scalar fetch blocks through the axon tunnel
+            # (block_until_ready does not; CLAUDE.md)
+            float(jax.tree.leaves(metrics)[0].ravel()[0])
+            dt = (time.perf_counter() - t0) / args.reps
+            peak = None if jax.devices()[0].platform == "cpu" else V5E_PEAK_BF16
+            arms[key] = {
+                "ms_per_step": round(dt * 1e3, 1),
+                "img_per_s_chip": round(args.batch / dt, 2),
+                "implied_tflops": round(flops_per_step / dt / 1e12, 2),
+                "mfu": (round(flops_per_step / dt / peak, 4)
+                        if peak else None),
+            }
+            print(f"# {key}: {dt*1e3:.1f} ms/step "
+                  f"({args.batch/dt:.2f} img/s, "
+                  f"{flops_per_step/dt/1e12:.1f} TF/s)",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 — the no-remat arm may OOM
+            arms[key] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+            print(f"# {key}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr, flush=True)
+        del state, fn
+
+    if args.adam_probe:
+        cfg = dataclasses.replace(base_cfg, remat=True)
+        model = ADMUNet(cfg, compute_dtype=jnp.bfloat16)
+        params = jax.jit(lambda r: model.init(
+            r, jnp.zeros((1, side, side, 4)), jnp.zeros((1,)),
+            context=jnp.zeros((1, ctx_len, ctx_dim))))(jax.random.PRNGKey(1))
+        tx = optax.adam(1e-5)
+        step = make_latent_train_step(
+            lambda p, z, t, c: model.apply(p, z, t, context=c), tx, betas,
+            parameterization="v")
+        state, _ = make_train_state(params, tx=tx)
+        del params
+        try:
+            jax.jit(step, donate_argnums=(0,)).lower(
+                state, None, z0, context, rng).compile()
+            arms["adam_probe"] = {"compiles": True}
+        except Exception as e:  # noqa: BLE001 — OOM at compile is the point
+            arms["adam_probe"] = {"compiles": False,
+                                  "error": f"{type(e).__name__}: "
+                                           f"{str(e)[:300]}"}
+        print(f"# adam_probe: {arms['adam_probe']}", file=sys.stderr,
+              flush=True)
+
+    ok = {k: v for k, v in arms.items() if "ms_per_step" in v}
+    best_key = min(ok, key=lambda k: ok[k]["ms_per_step"]) if ok else None
+    print(json.dumps({
+        "metric": "sd21_latent_train_ms_per_step_one_chip",
+        "value": ok[best_key]["ms_per_step"] if best_key else None,
+        "unit": "ms/step",
+        "vs_baseline": None,
+        "baseline": "none — the reference cannot run this model's training "
+                    "step on one 16 GiB device (fp32 Adam states alone are "
+                    f"{(n_params or 0)*16/2**30:.1f} GiB)",
+        "batch": args.batch,
+        "params_m": round((n_params or 0) / 1e6, 1),
+        "flops_per_step": flops_per_step,
+        "best_arm": best_key,
+        "arms": arms,
+    }))
+
+
+if __name__ == "__main__":
+    main()
