@@ -176,3 +176,56 @@ def test_train_latent_loop_and_cli_resume(tmp_path):
     cli.main(["train-latent", "--tiny", "--data-path", str(npz),
               "--workdir", str(tmp_path / "cli_run"), "--max-steps", "2",
               "--batch-size", "2", "--log-freq", "1"])
+
+
+def test_latent_step_with_adafactor_and_remat():
+    """The one-chip SD fine-tune recipe (benchmarks/sd_latent_train_bench.py):
+    adafactor (factored second moment — no 2xP Adam states) + per-block
+    remat, through the same make_latent_train_step/make_train_state pair.
+    The reference's Lightning harness pins Adam (main.py configure_optimizers);
+    fitting the 866M UNet on one 16 GiB chip is why the optimizer is
+    swappable here."""
+    import dataclasses
+
+    import optax
+
+    cfg = ADMConfig(image_size=8, in_channels=4, model_channels=32,
+                    out_channels=4, num_res_blocks=1,
+                    attention_resolutions=(2,), channel_mult=(1, 2),
+                    num_heads=2, use_spatial_transformer=True,
+                    transformer_depth=1, context_dim=D, remat=True)
+    unet = ADMUNet(config=cfg)
+    params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                       jnp.ones((1,)), None, jnp.zeros((1, 3, D)),
+                       deterministic=True)
+    apply = lambda p, z, t, c: unet.apply(p, z, t, None, c,
+                                          deterministic=True)
+    tx = optax.adafactor(learning_rate=2e-3)
+    state, _ = make_train_state(params, tx=tx)
+    # factored second moment: total optimizer-state elements must be far
+    # below the 2x param count Adam would carry (the point of the recipe)
+    n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
+    n_opt = sum(int(np.prod(np.asarray(a).shape))
+                for a in jax.tree.leaves(state.opt_state)
+                if hasattr(a, "shape"))
+    assert n_opt < n_params  # Adam would be 2x n_params
+
+    step = jax.jit(make_latent_train_step(apply, tx, BETAS))
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 4)) * 0.3
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (4, 3, D))
+    losses = []
+    for i in range(30):
+        state, m = step(state, None, z, ctx, jax.random.PRNGKey(0))
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1])
+    assert int(state.step) == 30
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    # remat parity: the rematted apply computes the same function
+    cfg_plain = dataclasses.replace(cfg, remat=False)
+    out_r = unet.apply(params, z, jnp.ones((4,)), None, ctx,
+                       deterministic=True)
+    out_p = ADMUNet(config=cfg_plain).apply(params, z, jnp.ones((4,)), None,
+                                            ctx, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_p),
+                               atol=1e-5, rtol=1e-5)
