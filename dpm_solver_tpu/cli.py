@@ -453,6 +453,7 @@ def cmd_train_latent(args):
         unet_config=unet_config, vae_config=vae_config,
         init_model=init_model, parameterization=args.parameterization,
         cond_dropout=args.cond_dropout, lr=args.lr,
+        optimizer=args.optimizer, remat=args.remat,
         max_steps=args.max_steps, log_freq=args.log_freq,
         snapshot_freq=args.snapshot_freq,
         snapshot_freq_for_preemption=args.snapshot_freq_for_preemption)
@@ -832,6 +833,13 @@ def main(argv=None):
     tl.add_argument("--cond-dropout", type=float, default=0.0)
     tl.add_argument("--parameterization", default=None,
                     choices=("eps", "x0", "v"))
+    tl.add_argument("--optimizer", default="adam",
+                    choices=("adam", "adafactor"),
+                    help="adafactor = the one-chip full-size-SD recipe "
+                         "(no 2x-params Adam states)")
+    tl.add_argument("--remat", action="store_true",
+                    help="per-block UNet rematerialization (bounds "
+                         "backward activation memory)")
     tl.add_argument("--log-freq", type=int, default=50)
     tl.add_argument("--snapshot-freq", type=int, default=10_000)
     tl.add_argument("--snapshot-freq-for-preemption", type=int,

@@ -350,6 +350,7 @@ def train_latent(preset: str, data_iter: Iterator, *,
                  uncond_context: Optional[np.ndarray] = None,
                  lr: float = 1e-4, warmup: int = 0, grad_clip: float = 1.0,
                  ema_rate: float = 0.9999,
+                 optimizer: str = "adam", remat: bool = False,
                  max_steps: int = 1000, log_freq: int = 50,
                  snapshot_freq: int = 10_000,
                  snapshot_freq_for_preemption: int = 1_000,
@@ -376,6 +377,13 @@ def train_latent(preset: str, data_iter: Iterator, *,
         (v for SD-2.x linear-transformer geometry, eps otherwise).
       cond_dropout / uncond_context: classifier-free-guidance training
         (p(drop) and the null context row, broadcast per sample).
+      optimizer: 'adam' (the reference's choice, main.py
+        ``configure_optimizers``) | 'adafactor' (factored second moment,
+        no first moment — the one-chip recipe for full-size SD: Adam's
+        fp32 states alone are 2x params and do not fit the 866M UNet on
+        16 GiB; see benchmarks/sd_latent_train_bench.py).
+      remat: per-block rematerialization in the UNet (the reference's
+        use_checkpoint flag) — bounds backward activation memory.
     """
     from dpm_solver_tpu.models.adm_unet import ADMUNet
     from dpm_solver_tpu.models.vae import AutoencoderKL, VQModel
@@ -400,6 +408,10 @@ def train_latent(preset: str, data_iter: Iterator, *,
         parameterization = (init_model.parameterization if init_model
                             else ("v" if unet_config.use_linear_in_transformer
                                   else "eps"))
+    if remat and not unet_config.remat:
+        import dataclasses
+
+        unet_config = dataclasses.replace(unet_config, remat=True)
     betas = init_model.betas if init_model else make_ldm_betas(1000, **beta_kw)
 
     rng = jax.random.PRNGKey(seed)
@@ -430,7 +442,17 @@ def train_latent(preset: str, data_iter: Iterator, *,
     else:
         encode_fn = vae_encode_fn(vae, scale_factor=scale)
 
-    tx = make_optimizer(lr, warmup, grad_clip)
+    if optimizer == "adam":
+        tx = make_optimizer(lr, warmup, grad_clip)
+    elif optimizer == "adafactor":
+        import optax
+
+        sched = optax.linear_schedule(0.0, lr, warmup) if warmup else lr
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip),
+                         optax.adafactor(learning_rate=sched))
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}; "
+                         "one of ('adam', 'adafactor')")
     state, _ = make_train_state(unet_params, ema_rate=ema_rate, tx=tx)
     ckpts = CheckpointManager(os.path.join(workdir, "checkpoints"),
                               max_to_keep=5)

@@ -175,7 +175,8 @@ def test_train_latent_loop_and_cli_resume(tmp_path):
     np.savez(npz, images=(rs.random((6, 16, 16, 3)) * 255).astype(np.uint8))
     cli.main(["train-latent", "--tiny", "--data-path", str(npz),
               "--workdir", str(tmp_path / "cli_run"), "--max-steps", "2",
-              "--batch-size", "2", "--log-freq", "1"])
+              "--batch-size", "2", "--log-freq", "1",
+              "--optimizer", "adafactor", "--remat"])
 
 
 def test_latent_step_with_adafactor_and_remat():
