@@ -56,6 +56,11 @@ def main():
     p.add_argument("--adam-probe", action="store_true",
                    help="also compile-check the fp32-Adam step to record "
                         "the expected OOM")
+    p.add_argument("--out", default=None,
+                   help="fence per-arm results to this JSON as they land "
+                        "(a TPU INTERNAL error wedges the client — "
+                        "CLAUDE.md; default: benchmarks/results_sd_latent_"
+                        "train_v5e.json unless --cpu/--tiny)")
     args = p.parse_args()
 
     import jax
@@ -88,9 +93,43 @@ def main():
     context = jnp.asarray(np.random.default_rng(1).standard_normal(
         (args.batch, ctx_len, ctx_dim)), jnp.float32)
 
+    out_path = args.out
+    if out_path is None and not (args.cpu or args.tiny):
+        out_path = __file__.rsplit("/", 1)[0] + \
+            "/results_sd_latent_train_v5e.json"
+
     arms = {}
     flops_per_step = None
     n_params = None
+
+    def payload(best_key=None):
+        ok = {k: v for k, v in arms.items() if "ms_per_step" in v}
+        if best_key is None and ok:
+            best_key = min(ok, key=lambda k: ok[k]["ms_per_step"])
+        return {
+            "metric": "sd21_latent_train_ms_per_step_one_chip",
+            "value": ok[best_key]["ms_per_step"] if best_key else None,
+            "unit": "ms/step",
+            "vs_baseline": None,
+            "baseline": "none — the reference cannot run this model's "
+                        "training step on one 16 GiB device (fp32 Adam "
+                        "states alone are "
+                        f"{(n_params or 0)*16/2**30:.1f} GiB)",
+            "batch": args.batch,
+            "params_m": round((n_params or 0) / 1e6, 1),
+            "flops_per_step": flops_per_step,
+            "best_arm": best_key,
+            "arms": arms,
+        }
+
+    def fence():
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(payload(), f, indent=1)
+
+    # remat arm FIRST: the no-remat arm is the one that may OOM at
+    # runtime, and a TPU INTERNAL error wedges every later op in this
+    # process — fencing after each arm keeps what already landed
     for remat in (True, False):
         cfg = dataclasses.replace(base_cfg, remat=remat)
         model = ADMUNet(cfg, compute_dtype=jnp.bfloat16)
@@ -152,6 +191,7 @@ def main():
             arms[key] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
             print(f"# {key}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr, flush=True)
+        fence()
         del state, fn
 
     if args.adam_probe:
@@ -176,23 +216,9 @@ def main():
                                            f"{str(e)[:300]}"}
         print(f"# adam_probe: {arms['adam_probe']}", file=sys.stderr,
               flush=True)
+        fence()
 
-    ok = {k: v for k, v in arms.items() if "ms_per_step" in v}
-    best_key = min(ok, key=lambda k: ok[k]["ms_per_step"]) if ok else None
-    print(json.dumps({
-        "metric": "sd21_latent_train_ms_per_step_one_chip",
-        "value": ok[best_key]["ms_per_step"] if best_key else None,
-        "unit": "ms/step",
-        "vs_baseline": None,
-        "baseline": "none — the reference cannot run this model's training "
-                    "step on one 16 GiB device (fp32 Adam states alone are "
-                    f"{(n_params or 0)*16/2**30:.1f} GiB)",
-        "batch": args.batch,
-        "params_m": round((n_params or 0) / 1e6, 1),
-        "flops_per_step": flops_per_step,
-        "best_arm": best_key,
-        "arms": arms,
-    }))
+    print(json.dumps(payload()))
 
 
 if __name__ == "__main__":
