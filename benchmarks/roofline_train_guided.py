@@ -286,8 +286,16 @@ def main():
         suffix = "_remat" if args.remat else ""
         out = (__file__.rsplit("/", 1)[0]
                + f"/results_roofline_train_guided{suffix}_v5e.json")
+        # merge: a --part train run must not clobber an existing
+        # guided_eval section (and vice versa)
+        try:
+            with open(out) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            prior = {}
+        prior.update(report)
         with open(out, "w") as f:
-            json.dump(report, f, indent=1)
+            json.dump(prior, f, indent=1)
     print(json.dumps(report))
 
 
