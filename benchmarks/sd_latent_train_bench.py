@@ -103,7 +103,9 @@ def main():
     n_params = None
 
     def payload(best_key=None):
-        ok = {k: v for k, v in arms.items() if "ms_per_step" in v}
+        # adam_probe is a feasibility record, not a recipe arm
+        ok = {k: v for k, v in arms.items()
+              if "ms_per_step" in v and k != "adam_probe"}
         if best_key is None and ok:
             best_key = min(ok, key=lambda k: ok[k]["ms_per_step"])
         return {
@@ -111,10 +113,11 @@ def main():
             "value": ok[best_key]["ms_per_step"] if best_key else None,
             "unit": "ms/step",
             "vs_baseline": None,
-            "baseline": "none — the reference cannot run this model's "
-                        "training step on one 16 GiB device (fp32 Adam "
-                        "states alone are "
-                        f"{(n_params or 0)*16/2**30:.1f} GiB)",
+            "baseline": "no same-silicon baseline — the reference's "
+                        "multi-GPU Lightning harness has no one-chip "
+                        "configuration; whether fp32 Adam (states "
+                        f"{(n_params or 0)*16/2**30:.1f} GiB) even fits "
+                        "here is an empirical output: arms.adam_probe",
             "batch": args.batch,
             "params_m": round((n_params or 0) / 1e6, 1),
             "flops_per_step": flops_per_step,
@@ -207,11 +210,30 @@ def main():
         state, _ = make_train_state(params, tx=tx)
         del params
         try:
-            jax.jit(step, donate_argnums=(0,)).lower(
-                state, None, z0, context, rng).compile()
+            fn = jax.jit(step, donate_argnums=(0,))
+            fn.lower(state, None, z0, context, rng).compile()
             arms["adam_probe"] = {"compiles": True}
-        except Exception as e:  # noqa: BLE001 — OOM at compile is the point
-            arms["adam_probe"] = {"compiles": False,
+            fence()
+            # compile != runs: XLA can report the true HBM peak only at
+            # execution. Actually take steps — if Adam RUNS at this batch
+            # (liveness scheduling keeps grads from coexisting with the
+            # whole update), the "does not fit" claim is wrong and the
+            # recipe docs must say "adafactor is the headroom/speed
+            # choice", not the only one that fits.
+            state, metrics = fn(state, None, z0, context, rng)
+            float(jax.tree.leaves(metrics)[0].ravel()[0])
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                state, metrics = fn(state, None, z0, context, rng)
+            float(jax.tree.leaves(metrics)[0].ravel()[0])
+            dt = (time.perf_counter() - t0) / args.reps
+            arms["adam_probe"].update(
+                runs=True, ms_per_step=round(dt * 1e3, 1),
+                img_per_s_chip=round(args.batch / dt, 2))
+        except Exception as e:  # noqa: BLE001 — OOM here is the point
+            arms["adam_probe"] = {**arms.get("adam_probe",
+                                             {"compiles": False}),
+                                  "runs": False,
                                   "error": f"{type(e).__name__}: "
                                            f"{str(e)[:300]}"}
         print(f"# adam_probe: {arms['adam_probe']}", file=sys.stderr,
